@@ -1,0 +1,39 @@
+"""Physics utilities (parity with reference ``differt2d/utils.py``)."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .defaults import DEFAULT_HEIGHT, DEFAULT_R_COEF
+
+P0: float = 100.0
+"""Received power at zero distance with default parameters
+(reference ``utils.py:12``)."""
+
+
+def received_power(
+    transmitter,
+    receiver,
+    path,
+    interacting_objects: Sequence,
+    r_coef: float = DEFAULT_R_COEF,
+    height: float = DEFAULT_HEIGHT,
+) -> jax.Array:
+    """Received power along a path: ``r_coef**n / (h^2 + r^2)``.
+
+    ``n`` is the number of interactions, ``r`` the path length, ``h`` an
+    antenna-height regularizer avoiding division by zero when TX == RX.
+    Reference ``utils.py:18-54``. ``transmitter``, ``receiver`` and
+    ``interacting_objects`` are accepted (and ignored) for the
+    ``PathFun`` protocol.
+    """
+    r = path.length()
+    n = path.xys.shape[0] - 2
+    return (r_coef**n) / (height * height + r * r)
+
+
+received_power.vectorized = True  # type: ignore[attr-defined]
+"""Marker: safe to vmap over batched paths in the grid tracer fast path."""

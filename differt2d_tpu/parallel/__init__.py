@@ -1,0 +1,27 @@
+"""Device-mesh parallelism for grid tracing.
+
+The tracer's pixel axis is embarrassingly parallel (reference
+``scene.py:1927-1930`` exploits it with a double vmap on one device); here
+it becomes the data axis of a :class:`jax.sharding.Mesh`. Wall arrays are
+tiny and replicated; parameter gradients (TX position, RIS phases) are
+all-reduced over ICI automatically by XLA's SPMD partitioner, overlapped
+with the backward pass -- no hand-written collectives needed for the data
+path. Multi-host runs use :func:`jax.distributed.initialize` plus
+host-local sharded grids.
+"""
+
+from .sharding import (
+    grid_mesh,
+    initialize_distributed,
+    make_train_step,
+    power_map_sharded,
+    shard_pixels,
+)
+
+__all__ = (
+    "grid_mesh",
+    "initialize_distributed",
+    "make_train_step",
+    "power_map_sharded",
+    "shard_pixels",
+)

@@ -32,7 +32,9 @@ from ._module import field, pytree_dataclass, tree_at
 from ._typing import ScalarFloat
 from .abc import Interactable, Loc, Object, Plottable
 from .geometry import (
+    FermatPath,
     ImagePath,
+    MinPath,
     Path,
     Point,
     RIS,
@@ -451,6 +453,42 @@ class Scene(Plottable):
             filter_nodes=filter_nodes,
         )
 
+    def _np_path_candidates(
+        self,
+        min_order: int = 0,
+        max_order: int = 1,
+        *,
+        order: Optional[int] = None,
+        filter_objects: Optional[Callable[[Object], bool]] = None,
+    ) -> list:
+        """Candidates as host NumPy rows (order-major, lexicographic).
+
+        Used internally by the drivers: candidates are pre-trace host data
+        (exactly where the reference crosses into Rust), and keeping them
+        NumPy lets candidate indices be used for Python-side object lookup
+        even when the whole driver runs under an outer ``jax.jit``.
+        """
+        from .rt import path_candidate_matrices
+
+        if filter_objects is None:
+            filter_nodes = None
+        else:
+            filter_nodes = tuple(
+                sorted(
+                    i
+                    for i, obj in enumerate(self.objects)
+                    if not filter_objects(obj)
+                )
+            )
+        groups = path_candidate_matrices(
+            len(self.objects),
+            min_order=min_order,
+            max_order=max_order,
+            order=order,
+            filter_nodes=filter_nodes,
+        )
+        return [row for o in sorted(groups) for row in groups[o]]
+
     def get_interacting_objects(self, path_candidate) -> list[Interactable]:
         """Objects a candidate passes on (reference ``scene.py:1136-1154``)."""
         return [self.objects[int(i)] for i in path_candidate]
@@ -471,8 +509,36 @@ class Scene(Plottable):
         and candidate (reference ``scene.py:1156-1228``). PRNG keys are
         split sequentially per path, matching reference ``scene.py:1209-1212``.
         """
+        yield from (
+            (tx_key, rx_key, valid, path, jnp.asarray(cand, dtype=jnp.int32))
+            for tx_key, rx_key, valid, path, cand in self._iter_paths(
+                path_cls=path_cls,
+                path_cls_kwargs=path_cls_kwargs,
+                min_order=min_order,
+                max_order=max_order,
+                order=order,
+                filter_objects=filter_objects,
+                key=key,
+                **kwargs,
+            )
+        )
+
+    def _iter_paths(
+        self,
+        path_cls: type[Path] = ImagePath,
+        path_cls_kwargs: Optional[Mapping[str, Any]] = None,
+        min_order: int = 0,
+        max_order: int = 1,
+        order: Optional[int] = None,
+        filter_objects: Optional[Callable[[Object], bool]] = None,
+        *,
+        key: Optional[jax.Array] = None,
+        **kwargs: Any,
+    ):
+        """Like :meth:`all_paths` but yields host NumPy candidates, keeping
+        object lookups concrete even under an outer ``jax.jit``."""
         path_cls_kwargs = dict(path_cls_kwargs or {})
-        path_candidates = self.all_path_candidates(
+        path_candidates = self._np_path_candidates(
             min_order=min_order,
             max_order=max_order,
             order=order,
@@ -530,7 +596,7 @@ class Scene(Plottable):
         def results() -> Iterator[tuple[str, str, jax.Array]]:
             groups: dict[tuple[str, str], jax.Array] = {}
             order_keys: list[tuple[str, str]] = []
-            for tx_key, rx_key, valid, path, path_candidate in self.all_paths(
+            for tx_key, rx_key, valid, path, path_candidate in self._iter_paths(
                 **kwargs
             ):
                 interacting_objects = self.get_interacting_objects(path_candidate)
@@ -586,13 +652,40 @@ class Scene(Plottable):
         candidates once, one PRNG key per candidate, per-pixel scalar
         accumulation wrapped in ``grad``/``value_and_grad`` as requested,
         double-vmapped over the grid.
+
+        When the request is expressible as pure array ops (wall/RIS/vertex
+        objects, ``fun`` is the stock power model, standard kwargs), it is
+        dispatched to the batched tracer (:mod:`differt2d_tpu.tracer`)
+        with identical numerics.
         """
+        fast = self._try_fast_grid(
+            X,
+            Y,
+            fun,
+            fun_args,
+            fun_kwargs,
+            on_transmitters=on_transmitters,
+            reduce_all=reduce_all,
+            grad=grad,
+            value_and_grad=value_and_grad,
+            path_cls=path_cls,
+            path_cls_kwargs=path_cls_kwargs,
+            point_cls=point_cls,
+            min_order=min_order,
+            max_order=max_order,
+            order=order,
+            filter_objects=filter_objects,
+            key=key,
+            **kwargs,
+        )
+        if fast is not None:
+            return fast
         if on_transmitters:
             scene = self.with_transmitters(tx=Point(xy=jnp.array([0.0, 0.0])))
         else:
             scene = self.with_receivers(rx=Point(xy=jnp.array([0.0, 0.0])))
 
-        path_candidates = scene.all_path_candidates(
+        path_candidates = scene._np_path_candidates(
             min_order=min_order,
             max_order=max_order,
             order=order,
@@ -668,6 +761,97 @@ class Scene(Plottable):
                 Z = Z + p
             return Z
         return results()
+
+    def _try_fast_grid(
+        self,
+        X,
+        Y,
+        fun,
+        fun_args,
+        fun_kwargs,
+        *,
+        on_transmitters,
+        reduce_all,
+        grad,
+        value_and_grad,
+        path_cls,
+        path_cls_kwargs,
+        point_cls,
+        min_order,
+        max_order,
+        order,
+        filter_objects,
+        key,
+        **kwargs,
+    ):
+        """Dispatch to :func:`differt2d_tpu.tracer.power_map` when possible.
+
+        Returns ``None`` when any part of the request needs the general
+        object-API path (custom ``fun``, exotic kwargs, non-array objects).
+        """
+        from . import tracer as _tracer
+        from .utils import received_power as _received_power
+
+        if fun is not _received_power or fun_args:
+            return None
+        if point_cls is not Point:
+            return None
+        allowed_fun_kwargs = {"r_coef", "height"}
+        if not set(fun_kwargs) <= allowed_fun_kwargs:
+            return None
+        allowed_kwargs = {"approx", "alpha", "function", "tol", "patch"}
+        if not set(kwargs) <= allowed_kwargs:
+            return None
+        solver = {ImagePath: "image", FermatPath: "fermat", MinPath: "mpt"}.get(
+            path_cls
+        )
+        if solver is None:
+            return None
+        allowed_path_kwargs = {"steps", "many"}
+        if not set(path_cls_kwargs) <= allowed_path_kwargs:
+            return None
+        scene = (
+            self.with_transmitters(tx=Point(xy=jnp.array([0.0, 0.0])))
+            if on_transmitters
+            else self.with_receivers(rx=Point(xy=jnp.array([0.0, 0.0])))
+        )
+        if _tracer.scene_arrays(scene) is None:
+            return None
+
+        def run(single_scene):
+            return _tracer.power_map(
+                single_scene,
+                X,
+                Y,
+                min_order=min_order,
+                max_order=max_order,
+                order=order,
+                solver=solver,
+                key=key,
+                filter_objects=filter_objects,
+                on_transmitters=on_transmitters,
+                grad=grad,
+                value_and_grad=value_and_grad,
+                **path_cls_kwargs,
+                **fun_kwargs,
+                **kwargs,
+            )
+
+        if reduce_all:
+            return run(scene)
+
+        # Iterator form: one tracer call per fixed node.
+        if on_transmitters:
+            singles = [
+                (rx_key, scene.with_receivers(**{rx_key: rx}))
+                for rx_key, rx in scene.receivers.items()
+            ]
+        else:
+            singles = [
+                (tx_key, scene.with_transmitters(**{tx_key: tx}))
+                for tx_key, tx in scene.transmitters.items()
+            ]
+        return ((name, run(s)) for name, s in singles)
 
     def accumulate_on_transmitters_grid_over_paths(
         self,

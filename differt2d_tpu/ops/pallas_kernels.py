@@ -1,0 +1,434 @@
+"""Fused Pallas TPU kernel for the power-map hot path.
+
+The XLA tracer (:mod:`differt2d_tpu.tracer`) evaluates the power map as a
+fused elementwise program; this kernel pushes further by specializing the
+whole trace-validate-accumulate pipeline at kernel-build time:
+
+* candidate wall indices and kinds are **compile-time constants** (they
+  are host-side data, enumerated before tracing) -- no gathers, no
+  kind-selects in the instruction stream;
+* per-candidate TX mirror images depend only on TX and wall scalars, so
+  they are computed once in scalar registers (SMEM reads), not per pixel;
+* one VMEM tile of pixels (8 x 128 f32) stays resident while every
+  candidate's solve / validity / power is accumulated onto it -- a single
+  pass over HBM for the whole map.
+
+Supports the image-method solver (the benchmark path), soft and hard
+logic, hard_sigmoid and sigmoid activations, wall/RIS/vertex kinds.
+Numerics match :func:`differt2d_tpu.tracer._accumulate_pixel` (same
+formulas and guards, f32); equivalence is tested in
+``tests/test_pallas.py``.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SUBLANES = 8
+LANES = 128
+TILE = SUBLANES * LANES
+
+KIND_WALL = 0
+KIND_RIS = 1
+KIND_VERTEX = 2
+
+
+def _soft(x, alpha, sigmoid: bool):
+    """activation(x) = f(alpha * x); reference logic.py:220-255."""
+    if sigmoid:
+        return jax.nn.sigmoid(alpha * x)
+    return jax.nn.hard_sigmoid(alpha * x)
+
+
+def _seg_intersect(ax, ay, bx, by, cx, cy, dx, dy, soft, alpha, tol=0.005):
+    """Graphics-Gems test of segment (a, b) vs (c, d), elementwise.
+
+    Mirrors ops/geometry_ops.py:segments_intersect (reference
+    geometry.py:84-173) including the zero-denominator inf guard.
+    """
+    avx, avy = bx - ax, by - ay          # A = b - a
+    bvx, bvy = cx - dx, cy - dy          # B = c - d
+    cvx, cvy = ax - cx, ay - cy          # C = a - c
+    num_a = bvy * cvx - bvx * cvy
+    num_b = avx * cvy - avy * cvx
+    den = avy * bvx - avx * bvy
+    den_zero = den == 0.0
+    safe_den = jnp.where(den_zero, 1.0, den)
+
+    def in_range(num):
+        t = jnp.where(den_zero, jnp.inf, num / safe_den)
+        if soft:
+            ge = _soft(t + tol, alpha, soft == "sigmoid")
+            le = _soft(1.0 + tol - t, alpha, soft == "sigmoid")
+            return jnp.minimum(ge, le)
+        return (t >= -tol) & (t <= 1.0 + tol)
+
+    lhs, rhs = in_range(num_a), in_range(num_b)
+    return jnp.minimum(lhs, rhs) if soft else (lhs & rhs)
+
+
+def _norm2(x, y):
+    return jnp.sqrt(x * x + y * y)
+
+
+def _normalize(x, y):
+    n = _norm2(x, y)
+    safe = jnp.where(n == 0.0, 1.0, n)
+    return x / safe, y / safe
+
+
+def build_power_map_kernel(
+    walls_np: np.ndarray,
+    kinds_np: np.ndarray,
+    groups: dict[int, np.ndarray],
+    *,
+    approx: bool,
+    sigmoid: bool = False,
+    interpret: bool = False,
+):
+    """Build a fused kernel ``f(pixels[P, 2], tx[2], phi[W], scalars) -> [P]``.
+
+    ``scalars = jnp.array([alpha, tol, patch, r_coef, height])`` are
+    runtime-tunable; walls / kinds / candidates are baked into the kernel.
+
+    The returned function pads ``P`` to a tile multiple internally and is
+    differentiable w.r.t. nothing (forward evaluation only) -- gradients
+    go through the XLA tracer path.
+    """
+    W = int(walls_np.shape[0])
+    walls_c = [
+        tuple(float(v) for v in walls_np[i].reshape(4)) for i in range(W)
+    ]
+    kinds_c = [int(k) for k in kinds_np]
+    soft_mode = ("sigmoid" if sigmoid else "hard") if approx else False
+
+    def kernel(scal_ref, phi_ref, px_ref, py_ref, out_ref):
+        txx = scal_ref[0]
+        txy = scal_ref[1]
+        alpha = scal_ref[2]
+        tol = scal_ref[3]
+        patch = scal_ref[4]
+        r_coef = scal_ref[5]
+        height = scal_ref[6]
+        eps = float(np.finfo(np.float32).eps)
+
+        px = px_ref[:]
+        py = py_ref[:]
+
+        def wall_scalars(i):
+            axw, ayw, bxw, byw = walls_c[i]
+            return axw, ayw, bxw, byw
+
+        def wall_normal(i):
+            axw, ayw, bxw, byw = wall_scalars(i)
+            tx_, ty_ = bxw - axw, byw - ayw
+            nx, ny = ty_, -tx_
+            n = math.sqrt(nx * nx + ny * ny)
+            if n == 0.0:
+                return 0.0, 0.0
+            return nx / n, ny / n
+
+        def mirror_scalar(x, y, i):
+            """Mirror a scalar point across wall i (host-math where possible)."""
+            axw, ayw, _, _ = wall_scalars(i)
+            nx, ny = wall_normal(i)
+            d = (x - axw) * nx + (y - ayw) * ny
+            return x - 2.0 * d * nx, y - 2.0 * d * ny
+
+        def blocked_combine(acc, hit):
+            if soft_mode:
+                return jnp.maximum(acc, hit)
+            return acc | hit
+
+        def segment_blocked(sax, say, sbx, sby, skip):
+            """Max/any over walls (minus ``skip``) of intersection with the
+            segment; wall endpoints grown by ``patch`` (reference
+            geometry.py:625-639)."""
+            acc = (
+                jnp.zeros_like(px)
+                if soft_mode
+                else jnp.zeros_like(px, dtype=jnp.bool_)
+            )
+            for w in range(W):
+                if w in skip or kinds_c[w] == KIND_VERTEX:
+                    continue
+                axw, ayw, bxw, byw = wall_scalars(w)
+                tx_, ty_ = bxw - axw, byw - ayw
+                wa_x = axw - patch * tx_
+                wa_y = ayw - patch * ty_
+                wb_x = bxw + patch * tx_
+                wb_y = byw + patch * ty_
+                hit = _seg_intersect(
+                    wa_x, wa_y, wb_x, wb_y, sax, say, sbx, sby,
+                    soft_mode, alpha,
+                )
+                acc = blocked_combine(acc, hit)
+            return acc
+
+        def valid_and(*vals):
+            out = vals[0]
+            for v in vals[1:]:
+                out = jnp.minimum(out, v) if soft_mode else (out & v)
+            return out
+
+        acc = jnp.zeros_like(px)
+
+        for order in sorted(groups):
+            cands = groups[order]
+            for c in range(cands.shape[0]):
+                cand = [int(v) for v in cands[c]]
+
+                # --- image-method solve (forward scalar mirrors, backward
+                # elementwise intersections; reference geometry.py:1086-1110)
+                images = []
+                ix, iy = txx, txy
+                for i in cand:
+                    if kinds_c[i] == KIND_VERTEX:
+                        # Zero-length segment: mirror is identity.
+                        images.append((ix, iy))
+                    else:
+                        ix, iy = mirror_scalar(ix, iy, i)
+                        images.append((ix, iy))
+
+                ptx, pty = px, py
+                bounce = [None] * order
+                for j in range(order - 1, -1, -1):
+                    i = cand[j]
+                    axw, ayw, _, _ = wall_scalars(i)
+                    if kinds_c[i] == KIND_VERTEX:
+                        ptx = jnp.full_like(px, axw)
+                        pty = jnp.full_like(py, ayw)
+                    else:
+                        nx, ny = wall_normal(i)
+                        imx, imy = images[j]
+                        ux, uy = ptx - imx, pty - imy
+                        un = ux * nx + uy * ny
+                        vn = (axw - ptx) * nx + (ayw - pty) * ny
+                        un_zero = un == 0.0
+                        safe_un = jnp.where(un_zero, 1.0, un)
+                        s = jnp.where(un_zero, 0.0, vn / safe_un)
+                        ptx = ptx + s * ux
+                        pty = pty + s * uy
+                    bounce[j] = (ptx, pty)
+
+                # Full path point list: [tx, bounces..., pixel].
+                path_x = [jnp.full_like(px, txx)] + [b[0] for b in bounce] + [px]
+                path_y = [jnp.full_like(py, txy)] + [b[1] for b in bounce] + [py]
+
+                # --- residual loss (reference geometry.py:643-650, 698-711)
+                loss = jnp.zeros_like(px)
+                for j, i in enumerate(cand):
+                    axc, ayc = path_x[j], path_y[j]
+                    bxc, byc = path_x[j + 1], path_y[j + 1]
+                    cxc, cyc = path_x[j + 2], path_y[j + 2]
+                    if kinds_c[i] == KIND_VERTEX:
+                        continue
+                    nx, ny = wall_normal(i)
+                    rx_, ry_ = _normalize(cxc - bxc, cyc - byc)
+                    if kinds_c[i] == KIND_RIS:
+                        sin_a = (-rx_) * ny - (-ry_) * nx
+                        cos_a = (-rx_) * nx + (-ry_) * ny
+                        sin_p = jnp.sin(phi_ref[i])
+                        cos_p = jnp.cos(phi_ref[i])
+                        loss = loss + (sin_a - sin_p) ** 2 + (cos_a - cos_p) ** 2
+                    else:
+                        ivx, ivy = _normalize(bxc - axc, byc - ayc)
+                        d = ivx * nx + ivy * ny
+                        refx, refy = ivx - 2.0 * d * nx, ivy - 2.0 * d * ny
+                        ex, ey = rx_ - refx, ry_ - refy
+                        loss = loss + ex * ex + ey * ey
+
+                # --- on_objects (reference geometry.py:821-854)
+                if soft_mode:
+                    on = jnp.ones_like(px)
+                else:
+                    on = jnp.ones_like(px, dtype=jnp.bool_)
+                for j, i in enumerate(cand):
+                    if kinds_c[i] == KIND_VERTEX:
+                        continue
+                    axw, ayw, bxw, byw = wall_scalars(i)
+                    dxw, dyw = bxw - axw, byw - ayw
+                    sq = dxw * dxw + dyw * dyw
+                    sq = sq if sq != 0.0 else 1.0
+                    bxc, byc = path_x[j + 1], path_y[j + 1]
+                    t = ((bxc - axw) * dxw + (byc - ayw) * dyw) / sq
+                    if soft_mode:
+                        contains = jnp.minimum(
+                            _soft(t, alpha, sigmoid),
+                            _soft(1.0 - t, alpha, sigmoid),
+                        )
+                    else:
+                        contains = (t >= 0.0) & (t <= 1.0)
+                    on = valid_and(on, contains)
+
+                # --- blocked (reference geometry.py:856-906)
+                if soft_mode:
+                    blk = jnp.zeros_like(px)
+                else:
+                    blk = jnp.zeros_like(px, dtype=jnp.bool_)
+                idx = [-1, *cand, -1]
+                for s in range(order + 1):
+                    skip = {idx[s], idx[s + 1]} - {-1}
+                    blk = blocked_combine(
+                        blk,
+                        segment_blocked(
+                            path_x[s], path_y[s],
+                            path_x[s + 1], path_y[s + 1],
+                            skip,
+                        ),
+                    )
+
+                # --- validity x power (reference geometry.py:908-963 +
+                # utils.py:18-54)
+                if soft_mode:
+                    loss_ok = _soft(tol - loss, alpha, sigmoid)
+                    valid = jnp.minimum(jnp.minimum(on, 1.0 - blk), loss_ok)
+                    valid = jnp.nan_to_num(valid)
+                else:
+                    valid = on & (~blk) & (loss < tol)
+
+                r = jnp.zeros_like(px)
+                for s in range(order + 1):
+                    dx_ = path_x[s + 1] - path_x[s] + eps
+                    dy_ = path_y[s + 1] - path_y[s] + eps
+                    r = r + _norm2(dx_, dy_)
+                power = (r_coef**order) / (height * height + r * r)
+                acc = acc + valid * power
+
+        out_ref[:] = acc
+
+    def run(pixels: jax.Array, tx: jax.Array, phi: jax.Array, scalars: jax.Array):
+        P = pixels.shape[0]
+        padded = -((-P) // TILE) * TILE
+        px = pixels[:, 0]
+        py = pixels[:, 1]
+        if padded != P:
+            px = jnp.concatenate([px, jnp.zeros(padded - P)], axis=0)
+            py = jnp.concatenate([py, jnp.zeros(padded - P)], axis=0)
+        rows = padded // LANES
+        px = px.reshape(rows, LANES)
+        py = py.reshape(rows, LANES)
+
+        packed = jnp.concatenate([tx, scalars])
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(rows // SUBLANES,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (SUBLANES, LANES),
+                    lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (SUBLANES, LANES),
+                    lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            interpret=interpret,
+        )(packed, phi, px, py)
+        return out.reshape(padded)[:P]
+
+    return run
+
+
+_KERNEL_CACHE: dict = {}
+
+
+def pallas_power_map(
+    scene,
+    X: jax.Array,
+    Y: jax.Array,
+    *,
+    min_order: int = 0,
+    max_order: int = 1,
+    order: Optional[int] = None,
+    approx: Optional[bool] = None,
+    alpha: float = 100.0,
+    sigmoid: bool = False,
+    tol: float = 1e-2,
+    patch: float = 0.0,
+    r_coef: float = 0.5,
+    height: float = 0.1,
+    filter_objects=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Power map through the fused Pallas kernel (image solver).
+
+    Drop-in for :func:`differt2d_tpu.tracer.power_map` on its default
+    configuration; see :func:`build_power_map_kernel` for what is baked
+    in vs runtime-tunable.
+    """
+    from ..logic import ENABLE_APPROX
+    from ..rt import path_candidate_matrices
+    from ..tracer import scene_arrays
+
+    if approx is None:
+        approx = ENABLE_APPROX
+
+    arrays = scene_arrays(scene)
+    if arrays is None:
+        msg = "pallas_power_map requires Wall/RIS/Vertex objects only"
+        raise ValueError(msg)
+
+    if filter_objects is None:
+        filter_nodes = None
+    else:
+        filter_nodes = tuple(
+            i for i, obj in enumerate(scene.objects) if not filter_objects(obj)
+        )
+    groups = path_candidate_matrices(
+        arrays.num_objects,
+        min_order=min_order,
+        max_order=max_order,
+        order=order,
+        filter_nodes=filter_nodes,
+    )
+
+    walls_np = np.asarray(arrays.walls)
+    kinds_np = np.asarray(arrays.kind)
+    cache_key = (
+        walls_np.tobytes(),
+        kinds_np.tobytes(),
+        tuple((o, g.tobytes(), g.shape) for o, g in sorted(groups.items())),
+        approx,
+        sigmoid,
+        interpret,
+    )
+    run = _KERNEL_CACHE.get(cache_key)
+    if run is None:
+        run = jax.jit(
+            build_power_map_kernel(
+                walls_np,
+                kinds_np,
+                groups,
+                approx=approx,
+                sigmoid=sigmoid,
+                interpret=interpret,
+            )
+        )
+        _KERNEL_CACHE[cache_key] = run
+
+    pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+    scalars = jnp.array([alpha, tol, patch, r_coef, height], dtype=jnp.float32)
+
+    out = jnp.zeros(pixels.shape[0])
+    for tx_point in scene.transmitters.values():
+        out = out + run(pixels, tx_point.xy, arrays.phi, scalars)
+    return out.reshape(X.shape)

@@ -1,0 +1,131 @@
+"""Fused Pallas kernel tests (interpreter mode on CPU): numerics must
+match the XLA tracer across approx modes, orders, activations, kinds, and
+runtime scalar overrides."""
+
+import chex
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from differt2d_tpu import tracer
+from differt2d_tpu.geometry import RIS, Vertex
+from differt2d_tpu.logic import sigmoid
+from differt2d_tpu.ops.pallas_kernels import pallas_power_map
+from differt2d_tpu.scene import Scene
+
+TOL = dict(rtol=1e-4, atol=1e-5)
+
+
+@pytest.fixture
+def grids():
+    return jnp.meshgrid(jnp.linspace(0.05, 0.95, 16), jnp.linspace(0.04, 0.96, 9))
+
+
+@pytest.mark.parametrize("approx", [True, False])
+@pytest.mark.parametrize("max_order", [0, 1, 2])
+def test_matches_xla(grids, approx, max_order):
+    scene = Scene.basic_scene()
+    X, Y = grids
+    ref = tracer.power_map(
+        scene, X, Y, max_order=max_order, approx=approx, backend="xla"
+    )
+    pal = pallas_power_map(
+        scene, X, Y, max_order=max_order, approx=approx, interpret=True
+    )
+    chex.assert_trees_all_close(ref, pal, **TOL)
+
+
+def test_sigmoid_activation(grids):
+    scene = Scene.basic_scene()
+    X, Y = grids
+    ref = tracer.power_map(
+        scene, X, Y, max_order=1, approx=True, function=sigmoid, backend="xla"
+    )
+    pal = pallas_power_map(
+        scene, X, Y, max_order=1, approx=True, sigmoid=True, interpret=True
+    )
+    chex.assert_trees_all_close(ref, pal, **TOL)
+
+
+def test_runtime_scalars(grids):
+    scene = Scene.basic_scene()
+    X, Y = grids
+    kw = dict(max_order=1, approx=True, alpha=7.0, tol=0.05, patch=0.1,
+              r_coef=0.8, height=0.25)
+    ref = tracer.power_map(scene, X, Y, backend="xla", **kw)
+    pal = pallas_power_map(scene, X, Y, interpret=True, **kw)
+    chex.assert_trees_all_close(ref, pal, **TOL)
+
+
+def test_ris_and_vertex_kinds(grids):
+    scene = Scene.square_scene().add_objects(
+        RIS(xys=jnp.array([[0.5, 0.3], [0.5, 0.7]])),
+        Vertex(xy=jnp.array([0.25, 0.75])),
+    )
+    X, Y = grids
+    ref = tracer.power_map(scene, X, Y, max_order=1, approx=True, backend="xla")
+    pal = pallas_power_map(scene, X, Y, max_order=1, approx=True, interpret=True)
+    chex.assert_trees_all_close(ref, pal, **TOL)
+
+
+def test_filter_objects(grids):
+    scene = Scene.square_scene().add_objects(
+        RIS(xys=jnp.array([[0.5, 0.3], [0.5, 0.7]]))
+    )
+    X, Y = grids
+    flt = lambda o: isinstance(o, RIS)  # noqa: E731
+    ref = tracer.power_map(
+        scene, X, Y, order=1, approx=True, filter_objects=flt, backend="xla"
+    )
+    pal = pallas_power_map(
+        scene, X, Y, order=1, approx=True, filter_objects=flt, interpret=True
+    )
+    chex.assert_trees_all_close(ref, pal, **TOL)
+
+
+def test_auto_backend_dispatch(grids):
+    """power_map(backend='auto') must route image-solver forward maps to
+    the Pallas kernel on every platform (interpret on CPU)."""
+    scene = Scene.basic_scene()
+    X, Y = grids
+    auto = tracer.power_map(scene, X, Y, max_order=1, approx=True)
+    pal = pallas_power_map(scene, X, Y, max_order=1, approx=True, interpret=True)
+    chex.assert_trees_all_equal(auto, pal)
+
+
+def test_auto_backend_tx_grid(grids):
+    """TX-grid mode uses path-reversal symmetry (wall-only scenes)."""
+    scene = Scene.basic_scene()
+    X, Y = grids
+    auto = tracer.power_map(
+        scene, X, Y, max_order=1, approx=True, on_transmitters=True
+    )
+    ref = tracer.power_map(
+        scene, X, Y, max_order=1, approx=True, on_transmitters=True,
+        backend="xla",
+    )
+    chex.assert_trees_all_close(auto, ref, **TOL)
+
+
+def test_grad_requests_stay_on_xla(grids):
+    scene = Scene.basic_scene()
+    X, Y = grids
+    out = tracer.power_map(scene, X, Y, max_order=1, approx=True, grad=True)
+    assert out.shape == (*X.shape, 2)
+    with pytest.raises(ValueError):
+        tracer.power_map(
+            scene, X, Y, max_order=1, approx=True, grad=True, backend="pallas"
+        )
+
+
+def test_multiple_transmitters(grids):
+    from differt2d_tpu.geometry import Point
+
+    scene = Scene.basic_scene().update_transmitters(
+        tx2=Point(xy=jnp.array([0.8, 0.8]))
+    )
+    X, Y = grids
+    ref = tracer.power_map(scene, X, Y, max_order=1, approx=True, backend="xla")
+    pal = pallas_power_map(scene, X, Y, max_order=1, approx=True, interpret=True)
+    chex.assert_trees_all_close(ref, pal, **TOL)

@@ -37,7 +37,10 @@ def test_shard_pixels_pads_and_places(mesh):
 def test_sharded_matches_single_device(mesh, approx):
     scene = Scene.basic_scene()
     X, Y = jnp.meshgrid(jnp.linspace(0.05, 0.95, 16), jnp.linspace(0.04, 0.96, 11))
-    single = tracer.power_map(scene, X, Y, max_order=1, approx=approx)
+    # backend="xla" for bitwise identity (the sharded path runs the XLA
+    # tracer; the default auto backend may pick the Pallas kernel, which
+    # is only allclose).
+    single = tracer.power_map(scene, X, Y, max_order=1, approx=approx, backend="xla")
     multi = power_map_sharded(scene, X, Y, mesh=mesh, max_order=1, approx=approx)
     chex.assert_trees_all_equal(single, multi)
 

@@ -192,8 +192,12 @@ class Vertex(Point, Object):
 
 
 @pytree_dataclass
-class Ray:
-    """Origin/destination segment (reference ``geometry.py:435-539``)."""
+class Ray(Plottable):
+    """Origin/destination segment (reference ``geometry.py:435-539``).
+
+    Also :class:`Plottable`, so the grid / center / compass-anchor
+    helpers are available directly on rays and walls.
+    """
 
     xys: jax.Array = field(
         converter=jnp.asarray,

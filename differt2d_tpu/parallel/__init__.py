@@ -10,6 +10,7 @@ path. Multi-host runs use :func:`jax.distributed.initialize` plus
 host-local sharded grids.
 """
 
+from .launcher import host_local_pixels, initialize_from_env
 from .sharding import (
     grid_mesh,
     initialize_distributed,
@@ -20,7 +21,9 @@ from .sharding import (
 
 __all__ = (
     "grid_mesh",
+    "host_local_pixels",
     "initialize_distributed",
+    "initialize_from_env",
     "make_train_step",
     "power_map_sharded",
     "shard_pixels",

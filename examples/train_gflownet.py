@@ -1,0 +1,82 @@
+"""Train a GFlowNet path-candidate sampler.
+
+TPU-native analog of the reference notebook
+``docs/source/notebooks/cost20120_helsinki_model.ipynb``: learn to sample
+path candidates proportionally to their validity instead of enumerating
+all of them. Prints the valid-sample fraction before and after training.
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from differt2d_tpu import tracer
+from differt2d_tpu.checkpoint import save_leaves
+from differt2d_tpu.models import (
+    FlowNet,
+    make_reward_fn,
+    make_train_step,
+    sample_trajectories,
+)
+from differt2d_tpu.models.gflownet import init_train_params
+from differt2d_tpu.scene import Scene, SceneName
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--scene",
+        type=str,
+        default="square_scene_with_obstacle",
+        choices=list(SceneName.__args__),
+    )
+    parser.add_argument("--order", type=int, default=2)
+    parser.add_argument("--steps", type=int, default=500)
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--learning-rate", type=float, default=1e-2)
+    parser.add_argument("--checkpoint", type=str, default=None)
+    args = parser.parse_args()
+
+    scene = Scene.from_scene_name(args.scene)
+    arrays = tracer.scene_arrays(scene)
+    walls = arrays.walls
+    num_walls = arrays.num_objects
+    tx = scene.transmitters["tx"].xy
+    rx = scene.receivers["rx"].xy
+
+    model = FlowNet(num_walls=num_walls, max_order=args.order)
+    reward = make_reward_fn(scene, order=args.order)
+    params = init_train_params(model, jax.random.PRNGKey(0), walls)
+    optimizer = optax.adam(args.learning_rate)
+    opt_state = optimizer.init(params)
+    step = make_train_step(
+        model, optimizer, reward, walls, tx, rx,
+        order=args.order, batch=args.batch,
+    )
+
+    def valid_fraction(p, k):
+        cands, _ = sample_trajectories(
+            model, p["model"], k, walls, tx, rx, args.order, 1024
+        )
+        return float(jnp.mean(reward(cands, tx, rx) == 1.0))
+
+    k_eval = jax.random.PRNGKey(7)
+    print(f"valid fraction before: {valid_fraction(params, k_eval):.3f}")
+
+    k = jax.random.PRNGKey(1)
+    for i in range(args.steps):
+        k, k_step = jax.random.split(k)
+        params, opt_state, loss = step(params, opt_state, k_step)
+        if (i + 1) % max(1, args.steps // 10) == 0:
+            print(f"step {i + 1:5d}: loss {float(loss):.4f}")
+
+    print(f"valid fraction after:  {valid_fraction(params, k_eval):.3f}")
+    if args.checkpoint:
+        save_leaves(args.checkpoint, params)
+        print(f"saved {args.checkpoint}")
+
+
+if __name__ == "__main__":
+    main()

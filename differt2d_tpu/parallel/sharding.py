@@ -68,23 +68,33 @@ def power_map_sharded(
     axis_name: str = "grid",
     grad: bool = False,
     value_and_grad: bool = False,
+    backend: str = "xla",
     **kwargs: Any,
 ):
     """Multi-device :func:`differt2d_tpu.tracer.power_map`.
 
     Shards the flat pixel axis over ``mesh`` and runs the tracer SPMD;
     results gather back to a replicated host array and are reshaped to the
-    grid. Bitwise-identical to the single-device tracer (pixels are
-    computed independently either way).
+    grid. With ``backend="xla"`` (default) this is bitwise-identical to
+    the single-device XLA tracer; ``backend="pallas"`` wraps the fused
+    Pallas kernel in :func:`jax.shard_map` (forward image-solver maps
+    only, each device's pixel shard must be a multiple of the 1024-pixel
+    tile).
     """
     if mesh is None:
         mesh = grid_mesh(axis_name=axis_name)
 
-    run = jax.jit(
-        _tracer.make_pixels_fn(
-            scene, grad=grad, value_and_grad=value_and_grad, **kwargs
+    if backend == "pallas":
+        if grad or value_and_grad:
+            msg = "backend='pallas' sharded maps are forward-only"
+            raise ValueError(msg)
+        run = _make_sharded_pallas_fn(scene, mesh, axis_name, kwargs)
+    else:
+        run = jax.jit(
+            _tracer.make_pixels_fn(
+                scene, grad=grad, value_and_grad=value_and_grad, **kwargs
+            )
         )
-    )
     pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
     sharded, n = shard_pixels(pixels, mesh, axis_name)
     result = run(sharded)
@@ -95,6 +105,80 @@ def power_map_sharded(
     if grad:
         return result[:n].reshape(*X.shape, 2)
     return result[:n].reshape(X.shape)
+
+
+def _make_sharded_pallas_fn(scene, mesh: Mesh, axis_name: str, kwargs: dict):
+    """Wrap the fused Pallas kernel in :func:`jax.shard_map` over the
+    pixel axis (each device runs the kernel on its local shard)."""
+    import numpy as np
+
+    from ..logic import ENABLE_APPROX
+    from ..ops.pallas_kernels import build_power_map_kernel
+    from ..rt import path_candidate_matrices
+    from jax.sharding import PartitionSpec as P
+
+    approx = kwargs.pop("approx", None)
+    if approx is None:
+        approx = ENABLE_APPROX
+    alpha = kwargs.pop("alpha", 100.0)
+    tol = kwargs.pop("tol", 1e-2)
+    patch = kwargs.pop("patch", 0.0)
+    r_coef = kwargs.pop("r_coef", 0.5)
+    height = kwargs.pop("height", 0.1)
+    sigmoid = kwargs.pop("sigmoid", False)
+    filter_objects = kwargs.pop("filter_objects", None)
+    min_order = kwargs.pop("min_order", 0)
+    max_order = kwargs.pop("max_order", 1)
+    order = kwargs.pop("order", None)
+    kwargs.pop("key", None)
+    if kwargs:
+        msg = f"unsupported kwargs for sharded pallas backend: {sorted(kwargs)}"
+        raise ValueError(msg)
+
+    arrays = _tracer.scene_arrays(scene)
+    if arrays is None:
+        msg = "pallas backend requires Wall/RIS/Vertex objects only"
+        raise ValueError(msg)
+    if filter_objects is None:
+        filter_nodes = None
+    else:
+        filter_nodes = tuple(
+            i for i, obj in enumerate(scene.objects) if not filter_objects(obj)
+        )
+    groups = path_candidate_matrices(
+        arrays.num_objects,
+        min_order=min_order,
+        max_order=max_order,
+        order=order,
+        filter_nodes=filter_nodes,
+    )
+    kernel = build_power_map_kernel(
+        np.asarray(arrays.walls),
+        np.asarray(arrays.kind),
+        groups,
+        approx=approx,
+        sigmoid=sigmoid,
+        interpret=jax.default_backend() == "cpu",
+    )
+    scalars = jnp.array([alpha, tol, patch, r_coef, height], dtype=jnp.float32)
+    tx_points = [tx.xy for tx in scene.transmitters.values()]
+
+    def local_fn(pixels):
+        out = None
+        for tx in tx_points:
+            z = kernel(pixels, tx, arrays.phi, scalars)
+            out = z if out is None else out + z
+        return out
+
+    return jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=P(axis_name),
+            out_specs=P(axis_name),
+            check_vma=False,
+        )
+    )
 
 
 def make_train_step(

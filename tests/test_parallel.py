@@ -55,6 +55,18 @@ def test_sharded_grad_matches(mesh):
     chex.assert_trees_all_equal(single, multi)
 
 
+def test_sharded_pallas_backend(mesh):
+    """shard_map-wrapped fused kernel matches the XLA tracer."""
+    scene = Scene.basic_scene()
+    # 128x128 = 16384 pixels = 8 devices x 2 x 1024-pixel tiles.
+    X, Y = jnp.meshgrid(jnp.linspace(0.01, 0.99, 128), jnp.linspace(0.02, 0.98, 128))
+    out = power_map_sharded(
+        scene, X, Y, mesh=mesh, max_order=1, approx=True, backend="pallas"
+    )
+    ref = tracer.power_map(scene, X, Y, max_order=1, approx=True, backend="xla")
+    chex.assert_trees_all_close(out, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_train_step_tx_placement(mesh):
     """One SPMD training step: replicated TX params, sharded pixels,
     XLA-inserted all-reduce for the parameter gradient."""

@@ -109,21 +109,169 @@ def main():
         and np.allclose(Zp, Zs, rtol=1e-4, atol=1e-5)
     )
 
-    print(
-        json.dumps(
+    result = {
+        "metric": "rx_grid_points_per_s_per_chip",
+        "value": round(points_per_s, 1),
+        "unit": "points/s/chip (1024x1024, order<=1, soft)",
+        "vs_baseline": round(points_per_s / base_points_per_s, 3),
+        "grad_check_pass": grad_ok,
+        "fast_s_per_map": round(fast_t, 4),
+        "xla_points_per_s": round(xla_points_per_s, 1),
+        "baseline_points_per_s": round(base_points_per_s, 1),
+        "device": str(jax.devices()[0]),
+    }
+
+    if os.environ.get("BENCH_FULL") == "1":
+        result.update(full_config_sweep())
+
+    print(json.dumps(result))
+
+
+STREET_GEOJSON = json.dumps(
+    {
+        "type": "FeatureCollection",
+        "features": [
             {
-                "metric": "rx_grid_points_per_s_per_chip",
-                "value": round(points_per_s, 1),
-                "unit": "points/s/chip (1024x1024, order<=1, soft)",
-                "vs_baseline": round(points_per_s / base_points_per_s, 3),
-                "grad_check_pass": grad_ok,
-                "fast_s_per_map": round(fast_t, 4),
-                "xla_points_per_s": round(xla_points_per_s, 1),
-                "baseline_points_per_s": round(base_points_per_s, 1),
-                "device": str(jax.devices()[0]),
-            }
-        )
+                "type": "Feature",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [
+                        [[0.1, 0.1], [0.4, 0.1], [0.4, 0.4], [0.1, 0.4], [0.1, 0.1]]
+                    ],
+                },
+            },
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [
+                        [[0.6, 0.2], [0.9, 0.2], [0.9, 0.5], [0.6, 0.5], [0.6, 0.2]]
+                    ],
+                },
+            },
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [
+                        [[0.3, 0.6], [0.7, 0.6], [0.7, 0.9], [0.3, 0.9], [0.3, 0.6]]
+                    ],
+                },
+            },
+        ],
+    }
+)
+
+
+def full_config_sweep() -> dict:
+    """Timings for the remaining BASELINE.json configs (BENCH_FULL=1)."""
+    import jax.numpy as jnp
+    import optax
+
+    from differt2d_tpu.geometry import MinPath, Point, RIS, Vertex
+    from differt2d_tpu.scene import Scene
+    from differt2d_tpu.tracer import power_map
+    from differt2d_tpu.logic import sigmoid
+    from differt2d_tpu.utils import received_power
+
+    key = jax.random.PRNGKey(1234)
+    out = {}
+
+    # Config 2: 256x256 receiver grid, order-2 reflections, sigmoid.
+    scene = Scene.basic_scene()
+    X, Y = jnp.meshgrid(jnp.linspace(0.01, 0.99, 256), jnp.linspace(0.01, 0.99, 256))
+    t = time_fn(
+        lambda: power_map(
+            scene, X, Y, max_order=2, approx=True, function=sigmoid
+        ),
+        warmup=1,
+        iters=3,
     )
+    out["cfg2_256x256_order2_sigmoid_pts_per_s"] = round(256 * 256 / t, 1)
+
+    # Config 3: TX-placement optimization step with the MPT solver.
+    opt_scene = Scene.square_scene_with_wall()
+
+    def loss(tx_coords, alpha):
+        s = opt_scene.with_transmitters(tx=Point(xy=tx_coords))
+        return -s.accumulate_over_paths(
+            received_power,
+            reduce_all=True,
+            max_order=1,
+            approx=True,
+            alpha=alpha,
+            path_cls=MinPath,
+            path_cls_kwargs={"steps": 100},
+            key=key,
+        )
+
+    f_and_df = jax.jit(jax.value_and_grad(loss))
+    optimizer = optax.chain(optax.adam(0.01), optax.zero_nans())
+    tx = jnp.array([0.3, 0.6])
+    state = optimizer.init(tx)
+
+    def opt_step():
+        nonlocal tx, state
+        v, g = f_and_df(tx, 50.0)
+        updates, state = optimizer.update(g, state)
+        tx = tx + updates
+        return v
+
+    t = time_fn(opt_step, warmup=2, iters=5)
+    out["cfg3_mpt_tx_opt_s_per_step"] = round(t, 4)
+
+    # Config 4: vertex diffraction on a GeoJSON street scene.
+    street = Scene.from_geojson(STREET_GEOJSON)
+    for obj in list(street.objects):
+        street = street.add_objects(*obj.get_vertices())
+    Xv, Yv = jnp.meshgrid(
+        jnp.linspace(0.01, 0.99, 128), jnp.linspace(0.01, 0.99, 128)
+    )
+    t = time_fn(
+        lambda: power_map(
+            street,
+            Xv,
+            Yv,
+            order=1,
+            solver="fermat",
+            approx=True,
+            key=key,
+            filter_objects=lambda o: isinstance(o, Vertex),
+        ),
+        warmup=1,
+        iters=3,
+    )
+    out["cfg4_geojson_vertex_diffraction_pts_per_s"] = round(128 * 128 / t, 1)
+
+    # Config 5: RIS phase-gradient optimization step (MPT).
+    base = Scene.square_scene()
+    Xr, Yr = jnp.meshgrid(
+        jnp.linspace(0.05, 0.45, 16), jnp.linspace(0.05, 0.95, 16)
+    )
+
+    def ris_loss(phi):
+        s = base.add_objects(
+            RIS(xys=jnp.array([[0.5, 0.3], [0.5, 0.7]]), phi=phi)
+        )
+        Z = power_map(
+            s,
+            Xr,
+            Yr,
+            order=1,
+            solver="mpt",
+            steps=100,
+            approx=True,
+            key=key,
+            filter_objects=lambda o: isinstance(o, RIS),
+            backend="xla",
+        )
+        return -jnp.sum(Z)
+
+    ris_grad = jax.jit(jax.value_and_grad(ris_loss))
+    t = time_fn(lambda: ris_grad(jnp.array(0.5)), warmup=1, iters=3)
+    out["cfg5_ris_phase_opt_s_per_step"] = round(t, 4)
+
+    return out
 
 
 if __name__ == "__main__":

@@ -570,6 +570,25 @@ def _pallas_eligible(scene, kwargs: dict) -> bool:
         kinds = np.asarray(arrays.kind)
         if np.any(kinds == KIND_RIS):
             return False
+    # The kernel unrolls candidates; beyond ~16 the instruction stream
+    # outgrows the scheduler (measured 2.6x slower than XLA at 50
+    # candidates) -- route large candidate sets to the XLA tracer.
+    if kwargs.get("filter_objects") is None:
+        min_order = kwargs.get("min_order", 0)
+        max_order = kwargs.get("max_order", 1)
+        if kwargs.get("order") is not None:
+            min_order = max_order = kwargs["order"]
+        n = arrays.num_objects
+        total = 0
+        for o in range(min_order, max_order + 1):
+            if o == 0:
+                total += 1
+            elif o == 1:
+                total += n
+            elif n > 1:
+                total += n * (n - 1) ** (o - 1)
+        if total > 16:
+            return False
     return True
 
 

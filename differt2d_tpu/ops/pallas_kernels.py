@@ -348,6 +348,300 @@ def build_power_map_kernel(
     return run
 
 
+def build_power_map_kernel_looped(
+    num_walls: int,
+    groups: dict[int, np.ndarray],
+    *,
+    approx: bool,
+    sigmoid: bool = False,
+    interpret: bool = False,
+):
+    """Looped variant of :func:`build_power_map_kernel` for large
+    candidate sets.
+
+    Instead of unrolling every candidate into the instruction stream
+    (which overwhelms the scheduler beyond ~16 candidates), each order
+    group runs a ``fori_loop`` whose body reads the candidate's wall
+    indices, wall coordinates, kinds and phases from SMEM at runtime.
+    Object-kind handling uses scalar selects (vertex pinning, RIS vs
+    specular residual) instead of compile-time specialization; the wall
+    array is a runtime input, so one compiled kernel serves every scene
+    with the same wall count and candidate structure.
+
+    Returned callable: ``f(pixels[P, 2], tx[2], walls[W, 2, 2], kind[W],
+    phi[W], scalars[5]) -> [P]``.
+    """
+    W = num_walls
+    soft_mode = ("sigmoid" if sigmoid else "hard") if approx else False
+    group_orders = sorted(groups)
+    group_counts = [int(groups[o].shape[0]) for o in group_orders]
+    # Candidate index arrays exist only for orders >= 1 (order 0 has one
+    # empty candidate and needs no indices).
+    cand_orders = [o for o in group_orders if o >= 1 and groups[o].size]
+
+    def kernel(scal_ref, walls_ref, kind_ref, phi_ref, *rest):
+        cand_ref_by_order = dict(zip(cand_orders, rest[: len(cand_orders)]))
+        px_ref, py_ref, out_ref = rest[len(cand_orders) :]
+
+        txx = scal_ref[0]
+        txy = scal_ref[1]
+        alpha = scal_ref[2]
+        tol = scal_ref[3]
+        patch = scal_ref[4]
+        r_coef = scal_ref[5]
+        height = scal_ref[6]
+        eps = float(np.finfo(np.float32).eps)
+
+        px = px_ref[:]
+        py = py_ref[:]
+
+        def read_wall(i):
+            """Wall endpoint scalars from SMEM (traced index)."""
+            base = i * 4
+            return (
+                walls_ref[base],
+                walls_ref[base + 1],
+                walls_ref[base + 2],
+                walls_ref[base + 3],
+            )
+
+        def wall_normal_rt(axw, ayw, bxw, byw):
+            tx_, ty_ = bxw - axw, byw - ayw
+            nx, ny = ty_, -tx_
+            n = jnp.sqrt(nx * nx + ny * ny)
+            safe = jnp.where(n == 0.0, 1.0, n)
+            return nx / safe, ny / safe
+
+        def group_sum(order, cand_ref, count, acc0):
+            """Accumulate all candidates of one order via fori_loop."""
+
+            def body(c, acc):
+                idx = [cand_ref[c * order + j] for j in range(order)]
+                wall_vals = [read_wall(i) for i in idx]
+                kinds = [kind_ref[i] for i in idx]
+                normals = [wall_normal_rt(*wv) for wv in wall_vals]
+
+                # Forward scalar mirror sweep (vertex segments are
+                # degenerate: zero normal => identity mirror).
+                images = []
+                ix, iy = txx, txy
+                for j in range(order):
+                    axw, ayw, _, _ = wall_vals[j]
+                    nx, ny = normals[j]
+                    d = (ix - axw) * nx + (iy - ayw) * ny
+                    ix, iy = ix - 2.0 * d * nx, iy - 2.0 * d * ny
+                    images.append((ix, iy))
+
+                # Backward elementwise intersections, vertex pinning.
+                ptx, pty = px, py
+                bounce = [None] * order
+                for j in range(order - 1, -1, -1):
+                    axw, ayw, _, _ = wall_vals[j]
+                    nx, ny = normals[j]
+                    imx, imy = images[j]
+                    ux, uy = ptx - imx, pty - imy
+                    un = ux * nx + uy * ny
+                    vn = (axw - ptx) * nx + (ayw - pty) * ny
+                    un_zero = un == 0.0
+                    safe_un = jnp.where(un_zero, 1.0, un)
+                    s = jnp.where(un_zero, 0.0, vn / safe_un)
+                    ptx = ptx + s * ux
+                    pty = pty + s * uy
+                    is_vertex = kinds[j] == KIND_VERTEX
+                    ptx = jnp.where(is_vertex, axw, ptx)
+                    pty = jnp.where(is_vertex, ayw, pty)
+                    bounce[j] = (ptx, pty)
+
+                path_x = [jnp.full_like(px, txx)] + [b[0] for b in bounce] + [px]
+                path_y = [jnp.full_like(py, txy)] + [b[1] for b in bounce] + [py]
+
+                # Residuals (kind-selected at runtime).
+                loss = jnp.zeros_like(px)
+                for j in range(order):
+                    nx, ny = normals[j]
+                    axc, ayc = path_x[j], path_y[j]
+                    bxc, byc = path_x[j + 1], path_y[j + 1]
+                    cxc, cyc = path_x[j + 2], path_y[j + 2]
+                    rx_, ry_ = _normalize(cxc - bxc, cyc - byc)
+                    ivx, ivy = _normalize(bxc - axc, byc - ayc)
+                    d = ivx * nx + ivy * ny
+                    refx, refy = ivx - 2.0 * d * nx, ivy - 2.0 * d * ny
+                    ex, ey = rx_ - refx, ry_ - refy
+                    spec = ex * ex + ey * ey
+                    sin_a = (-rx_) * ny - (-ry_) * nx
+                    cos_a = (-rx_) * nx + (-ry_) * ny
+                    sin_p = jnp.sin(phi_ref[idx[j]])
+                    cos_p = jnp.cos(phi_ref[idx[j]])
+                    ris = (sin_a - sin_p) ** 2 + (cos_a - cos_p) ** 2
+                    res = jnp.where(kinds[j] == KIND_RIS, ris, spec)
+                    res = jnp.where(kinds[j] == KIND_VERTEX, 0.0, res)
+                    loss = loss + res
+
+                # on_objects.
+                if soft_mode:
+                    on = jnp.ones_like(px)
+                else:
+                    on = jnp.ones_like(px, dtype=jnp.bool_)
+                for j in range(order):
+                    axw, ayw, bxw, byw = wall_vals[j]
+                    dxw, dyw = bxw - axw, byw - ayw
+                    sq = dxw * dxw + dyw * dyw
+                    sq = jnp.where(sq == 0.0, 1.0, sq)
+                    bxc, byc = path_x[j + 1], path_y[j + 1]
+                    t = ((bxc - axw) * dxw + (byc - ayw) * dyw) / sq
+                    if soft_mode:
+                        contains = jnp.minimum(
+                            _soft(t, alpha, sigmoid),
+                            _soft(1.0 - t, alpha, sigmoid),
+                        )
+                        contains = jnp.where(
+                            kinds[j] == KIND_VERTEX, 1.0, contains
+                        )
+                        on = jnp.minimum(on, contains)
+                    else:
+                        contains = (t >= 0.0) & (t <= 1.0)
+                        contains = contains | (kinds[j] == KIND_VERTEX)
+                        on = on & contains
+
+                # Blocked: every segment vs every wall, adjacency masked
+                # at runtime (vertex walls are degenerate => never hit).
+                if soft_mode:
+                    blk = jnp.zeros_like(px)
+                else:
+                    blk = jnp.zeros_like(px, dtype=jnp.bool_)
+                minus_one = jnp.int32(-1)
+                seg_idx = [minus_one] + [i for i in idx] + [minus_one]
+                for s in range(order + 1):
+                    for w in range(W):
+                        axw, ayw, bxw, byw = read_wall(w)
+                        tx_, ty_ = bxw - axw, byw - ayw
+                        hit = _seg_intersect(
+                            axw - patch * tx_,
+                            ayw - patch * ty_,
+                            bxw + patch * tx_,
+                            byw + patch * ty_,
+                            path_x[s], path_y[s],
+                            path_x[s + 1], path_y[s + 1],
+                            soft_mode,
+                            alpha,
+                        )
+                        ignore = (seg_idx[s] == w) | (seg_idx[s + 1] == w)
+                        if soft_mode:
+                            hit = jnp.where(ignore, 0.0, hit)
+                            blk = jnp.maximum(blk, hit)
+                        else:
+                            hit = jnp.where(ignore, False, hit)
+                            blk = blk | hit
+
+                if soft_mode:
+                    loss_ok = _soft(tol - loss, alpha, sigmoid)
+                    valid = jnp.minimum(jnp.minimum(on, 1.0 - blk), loss_ok)
+                    valid = jnp.nan_to_num(valid)
+                else:
+                    valid = on & (~blk) & (loss < tol)
+
+                r = jnp.zeros_like(px)
+                for s in range(order + 1):
+                    dx_ = path_x[s + 1] - path_x[s] + eps
+                    dy_ = path_y[s + 1] - path_y[s] + eps
+                    r = r + _norm2(dx_, dy_)
+                power = (r_coef**order) / (height * height + r * r)
+                return acc + valid * power
+
+            return jax.lax.fori_loop(0, count, body, acc0)
+
+        acc = jnp.zeros_like(px)
+        for g, order in enumerate(group_orders):
+            count = group_counts[g]
+            if count == 0:
+                continue
+            if order == 0:
+                # LOS: no bounce, direct blocked test.
+                if soft_mode:
+                    blk = jnp.zeros_like(px)
+                else:
+                    blk = jnp.zeros_like(px, dtype=jnp.bool_)
+                for w in range(W):
+                    axw, ayw, bxw, byw = read_wall(w)
+                    tx_, ty_ = bxw - axw, byw - ayw
+                    hit = _seg_intersect(
+                        axw - patch * tx_,
+                        ayw - patch * ty_,
+                        bxw + patch * tx_,
+                        byw + patch * ty_,
+                        jnp.full_like(px, txx), jnp.full_like(py, txy),
+                        px, py,
+                        soft_mode,
+                        alpha,
+                    )
+                    blk = jnp.maximum(blk, hit) if soft_mode else (blk | hit)
+                if soft_mode:
+                    loss_ok = _soft(tol, alpha, sigmoid)
+                    valid = jnp.minimum(1.0 - blk, loss_ok)
+                    valid = jnp.nan_to_num(valid)
+                else:
+                    valid = ~blk
+                dx_ = px - txx + eps
+                dy_ = py - txy + eps
+                r = _norm2(dx_, dy_)
+                acc = acc + valid * (1.0 / (height * height + r * r))
+            else:
+                acc = group_sum(order, cand_ref_by_order[order], count, acc)
+        out_ref[:] = acc
+
+    def run(
+        pixels: jax.Array,
+        tx: jax.Array,
+        walls: jax.Array,
+        kind: jax.Array,
+        phi: jax.Array,
+        scalars: jax.Array,
+    ):
+        P = pixels.shape[0]
+        padded = -((-P) // TILE) * TILE
+        px = pixels[:, 0]
+        py = pixels[:, 1]
+        if padded != P:
+            px = jnp.concatenate([px, jnp.zeros(padded - P)], axis=0)
+            py = jnp.concatenate([py, jnp.zeros(padded - P)], axis=0)
+        rows = padded // LANES
+        px = px.reshape(rows, LANES)
+        py = py.reshape(rows, LANES)
+
+        packed = jnp.concatenate([tx, scalars]).astype(jnp.float32)
+        walls_flat = walls.reshape(-1).astype(jnp.float32)
+        cand_arrays = [
+            jnp.asarray(groups[o].reshape(-1), dtype=jnp.int32)
+            for o in cand_orders
+        ]
+
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        tile_spec = pl.BlockSpec(
+            (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(rows // SUBLANES,),
+            in_specs=[smem, smem, smem, smem]
+            + [smem] * len(cand_arrays)
+            + [tile_spec, tile_spec],
+            out_specs=tile_spec,
+            out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            interpret=interpret,
+        )(
+            packed,
+            walls_flat,
+            kind.astype(jnp.int32),
+            phi.astype(jnp.float32),
+            *cand_arrays,
+            px,
+            py,
+        )
+        return out.reshape(padded)[:P]
+
+    return run
+
+
 _KERNEL_CACHE: dict = {}
 
 
@@ -403,18 +697,56 @@ def pallas_power_map(
 
     walls_np = np.asarray(arrays.walls)
     kinds_np = np.asarray(arrays.kind)
-    cache_key = (
-        walls_np.tobytes(),
-        kinds_np.tobytes(),
-        tuple((o, g.tobytes(), g.shape) for o, g in sorted(groups.items())),
-        approx,
-        sigmoid,
-        interpret,
+    total_candidates = sum(int(g.shape[0]) for g in groups.values())
+    # Small candidate sets: fully-unrolled kernel with walls baked in as
+    # immediates (fastest). Large sets: fori_loop kernel with SMEM-resident
+    # candidates -- the unrolled instruction stream outgrows the scheduler
+    # past ~16 candidates (measured crossover; 3-4x XLA either way).
+    use_looped = total_candidates > 16
+    group_key = tuple(
+        (o, g.tobytes(), g.shape) for o, g in sorted(groups.items())
     )
+    if use_looped:
+        cache_key = (
+            "looped",
+            int(walls_np.shape[0]),
+            group_key,
+            approx,
+            sigmoid,
+            interpret,
+        )
+    else:
+        cache_key = (
+            "unrolled",
+            walls_np.tobytes(),
+            kinds_np.tobytes(),
+            group_key,
+            approx,
+            sigmoid,
+            interpret,
+        )
+    n_tx = len(scene.transmitters)
+    cache_key = (*cache_key, n_tx)
     run = _KERNEL_CACHE.get(cache_key)
     if run is None:
-        run = jax.jit(
-            build_power_map_kernel(
+        if use_looped:
+            looped = build_power_map_kernel_looped(
+                int(walls_np.shape[0]),
+                groups,
+                approx=approx,
+                sigmoid=sigmoid,
+                interpret=interpret,
+            )
+
+            def run(pixels, txs, walls, kind, phi, scalars):
+                out = None
+                for t in range(n_tx):
+                    z = looped(pixels, txs[t], walls, kind, phi, scalars)
+                    out = z if out is None else out + z
+                return out
+
+        else:
+            kernel = build_power_map_kernel(
                 walls_np,
                 kinds_np,
                 groups,
@@ -422,13 +754,21 @@ def pallas_power_map(
                 sigmoid=sigmoid,
                 interpret=interpret,
             )
-        )
+
+            def run(pixels, txs, walls, kind, phi, scalars):
+                out = None
+                for t in range(n_tx):
+                    z = kernel(pixels, txs[t], phi, scalars)
+                    out = z if out is None else out + z
+                return out
+
+        # One jitted entry per (kernel, n_tx): the whole per-TX loop is a
+        # single device dispatch (remote-TPU tunnels pay per-op latency).
+        run = jax.jit(run)
         _KERNEL_CACHE[cache_key] = run
 
     pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
     scalars = jnp.array([alpha, tol, patch, r_coef, height], dtype=jnp.float32)
-
-    out = jnp.zeros(pixels.shape[0])
-    for tx_point in scene.transmitters.values():
-        out = out + run(pixels, tx_point.xy, arrays.phi, scalars)
+    txs = jnp.stack([tx.xy for tx in scene.transmitters.values()])
+    out = run(pixels, txs, arrays.walls, arrays.kind, arrays.phi, scalars)
     return out.reshape(X.shape)

@@ -58,12 +58,40 @@ class SceneArrays:
         return self.walls.shape[0]
 
 
+_SCENE_ARRAYS_CACHE: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+
+
 def scene_arrays(scene) -> Optional[SceneArrays]:
     """Convert a :class:`Scene`'s objects to :class:`SceneArrays`.
 
     Returns ``None`` when an object type outside {Wall, RIS, Vertex} is
     present (the caller then falls back to the object-API path).
+
+    Results are cached per scene instance (scenes are immutable PyTrees):
+    repeated map calls on the same scene skip the per-object array
+    assembly, which matters on remote-dispatch devices where every small
+    op pays tunnel latency.
     """
+    global _SCENE_ARRAYS_CACHE
+    import weakref
+
+    if _SCENE_ARRAYS_CACHE is None:
+        _SCENE_ARRAYS_CACHE = weakref.WeakKeyDictionary()
+    try:
+        cached = _SCENE_ARRAYS_CACHE.get(scene)
+    except TypeError:
+        cached = None
+    if cached is not None:
+        return cached
+    arrays = _scene_arrays_uncached(scene)
+    try:
+        _SCENE_ARRAYS_CACHE[scene] = arrays
+    except TypeError:
+        pass
+    return arrays
+
+
+def _scene_arrays_uncached(scene) -> Optional[SceneArrays]:
     walls, kinds, phis = [], [], []
     for obj in scene.objects:
         if isinstance(obj, RIS):
@@ -570,25 +598,9 @@ def _pallas_eligible(scene, kwargs: dict) -> bool:
         kinds = np.asarray(arrays.kind)
         if np.any(kinds == KIND_RIS):
             return False
-    # The kernel unrolls candidates; beyond ~16 the instruction stream
-    # outgrows the scheduler (measured 2.6x slower than XLA at 50
-    # candidates) -- route large candidate sets to the XLA tracer.
-    if kwargs.get("filter_objects") is None:
-        min_order = kwargs.get("min_order", 0)
-        max_order = kwargs.get("max_order", 1)
-        if kwargs.get("order") is not None:
-            min_order = max_order = kwargs["order"]
-        n = arrays.num_objects
-        total = 0
-        for o in range(min_order, max_order + 1):
-            if o == 0:
-                total += 1
-            elif o == 1:
-                total += n
-            elif n > 1:
-                total += n * (n - 1) ** (o - 1)
-        if total > 16:
-            return False
+    # (Candidate-set size no longer matters: pallas_power_map picks the
+    # unrolled kernel for small sets and the fori_loop kernel for large
+    # ones -- both beat the XLA tracer.)
     return True
 
 

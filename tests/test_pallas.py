@@ -119,6 +119,64 @@ def test_grad_requests_stay_on_xla(grids):
         )
 
 
+def test_looped_kernel_matches_xla(grids):
+    """The fori_loop kernel (large candidate sets) vs the XLA tracer."""
+    import numpy as np
+
+    from differt2d_tpu.ops.pallas_kernels import build_power_map_kernel_looped
+    from differt2d_tpu.rt import path_candidate_matrices
+
+    scene = Scene.basic_scene()
+    arrays = tracer.scene_arrays(scene)
+    groups = path_candidate_matrices(arrays.num_objects, 0, 2)  # 50 cands
+    run = build_power_map_kernel_looped(
+        arrays.num_objects, groups, approx=True, interpret=True
+    )
+    X, Y = grids
+    pix = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+    scal = jnp.array([100.0, 1e-2, 0.0, 0.5, 0.1], dtype=jnp.float32)
+    out = run(
+        pix, scene.transmitters["tx"].xy, arrays.walls, arrays.kind,
+        arrays.phi, scal,
+    ).reshape(X.shape)
+    ref = tracer.power_map(scene, X, Y, max_order=2, approx=True, backend="xla")
+    chex.assert_trees_all_close(out, ref, **TOL)
+
+
+def test_looped_kernel_runtime_walls(grids):
+    """One compiled looped kernel serves different wall coordinates."""
+    from differt2d_tpu.ops.pallas_kernels import build_power_map_kernel_looped
+    from differt2d_tpu.rt import path_candidate_matrices
+
+    X, Y = grids
+    pix = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+    scal = jnp.array([100.0, 1e-2, 0.0, 0.5, 0.1], dtype=jnp.float32)
+    groups = path_candidate_matrices(4, 0, 2)
+    run = build_power_map_kernel_looped(4, groups, approx=True, interpret=True)
+    for factory in (Scene.square_scene, Scene.square_scene_with_obstacle):
+        scene = factory()
+        if len(scene.objects) != 4:
+            scene = Scene.square_scene(tx_coords=(0.3, 0.3))
+        arrays = tracer.scene_arrays(scene)
+        out = run(
+            pix, scene.transmitters["tx"].xy, arrays.walls, arrays.kind,
+            arrays.phi, scal,
+        ).reshape(X.shape)
+        ref = tracer.power_map(
+            scene, X, Y, max_order=2, approx=True, backend="xla"
+        )
+        chex.assert_trees_all_close(out, ref, **TOL)
+
+
+def test_auto_backend_order2_uses_looped(grids):
+    """Auto dispatch covers large candidate sets via the looped kernel."""
+    scene = Scene.basic_scene()
+    X, Y = grids
+    auto = tracer.power_map(scene, X, Y, max_order=2, approx=True)
+    ref = tracer.power_map(scene, X, Y, max_order=2, approx=True, backend="xla")
+    chex.assert_trees_all_close(auto, ref, **TOL)
+
+
 def test_multiple_transmitters(grids):
     from differt2d_tpu.geometry import Point
 

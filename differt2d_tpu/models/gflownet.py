@@ -177,7 +177,8 @@ def make_train_step(
     @jax.jit
     def step(train_params, opt_state, key):
         loss, grads = jax.value_and_grad(loss_fn)(train_params, key)
-        updates, opt_state = optimizer.update(grads, opt_state)
+        # Pass params so params-aware transforms (adamw, lars, ...) work.
+        updates, opt_state = optimizer.update(grads, opt_state, train_params)
         train_params = jax.tree_util.tree_map(
             lambda p, u: p + u, train_params, updates
         )

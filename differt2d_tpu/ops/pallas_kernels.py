@@ -642,7 +642,97 @@ def build_power_map_kernel_looped(
     return run
 
 
-_KERNEL_CACHE: dict = {}
+def _differentiable_run(
+    pallas_primal,
+    kinds_np: np.ndarray,
+    groups: dict[int, np.ndarray],
+    *,
+    n_tx: int,
+    approx: bool,
+    sigmoid: bool,
+):
+    """Make the fused kernel differentiable via :func:`jax.custom_vjp`.
+
+    Forward pass: the Pallas kernel. Backward pass: the VJP of the XLA
+    tracer's numerically-identical pipeline, rebuilt from the same runtime
+    inputs -- so gradients w.r.t. pixels, TX positions, wall coordinates,
+    RIS phases and the runtime scalars flow exactly as on the XLA path.
+    ``kind`` is an integer input and is treated as constant (its cotangent
+    is symbolically zero).
+    """
+    from functools import partial as _partial
+
+    from .. import tracer as _tracer_mod
+    from ..logic import hard_sigmoid as _hard_sigmoid, sigmoid as _sigmoid_fn
+
+    function = _sigmoid_fn if sigmoid else _hard_sigmoid
+    group_keys = {o: None for o in groups}
+
+    def xla_equiv(pixels, txs, walls, phi, scalars):
+        arrays = _tracer_mod.SceneArrays(
+            walls=walls, kind=jnp.asarray(kinds_np), phi=phi
+        )
+        power_fun = _partial(
+            _tracer_mod._received_power_batched,
+            r_coef=scalars[3],
+            height=scalars[4],
+        )
+
+        def per_pixel(tx, pixel):
+            return _tracer_mod._accumulate_pixel(
+                tx,
+                pixel,
+                arrays,
+                groups,
+                group_keys,
+                solver="image",
+                approx=approx,
+                alpha=scalars[0],
+                function=function,
+                tol=scalars[1],
+                patch=scalars[2],
+                steps=100,
+                many=1,
+                power_fun=power_fun,
+            )
+
+        vf = jax.vmap(per_pixel, in_axes=(None, 0))
+        out = None
+        for t in range(n_tx):
+            z = vf(txs[t], pixels)
+            out = z if out is None else out + z
+        return out
+
+    @jax.custom_vjp
+    def fused(pixels, txs, walls, phi, scalars):
+        return _primal(pixels, txs, walls, phi, scalars)
+
+    def _primal(pixels, txs, walls, phi, scalars):
+        return pallas_primal(
+            pixels, txs, walls, jnp.asarray(kinds_np), phi, scalars
+        )
+
+    def fwd(pixels, txs, walls, phi, scalars):
+        out = _primal(pixels, txs, walls, phi, scalars)
+        return out, (pixels, txs, walls, phi, scalars)
+
+    def bwd(residuals, g):
+        _, vjp_fn = jax.vjp(xla_equiv, *residuals)
+        return vjp_fn(g)
+
+    fused.defvjp(fwd, bwd)
+
+    def run(pixels, txs, walls, kind, phi, scalars):
+        del kind  # baked into the closure (integer, non-differentiable)
+        return fused(pixels, txs, walls, phi, scalars)
+
+    return run
+
+
+import collections
+
+_KERNEL_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+_KERNEL_CACHE_MAX = 64
 
 
 def pallas_power_map(
@@ -695,6 +785,34 @@ def pallas_power_map(
         filter_nodes=filter_nodes,
     )
 
+    run = get_fused_run(
+        arrays,
+        groups,
+        n_tx=len(scene.transmitters),
+        approx=approx,
+        sigmoid=sigmoid,
+        interpret=interpret,
+    )
+
+    pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+    scalars = jnp.array([alpha, tol, patch, r_coef, height], dtype=jnp.float32)
+    txs = jnp.stack([tx.xy for tx in scene.transmitters.values()])
+    out = run(pixels, txs, arrays.walls, arrays.kind, arrays.phi, scalars)
+    return out.reshape(X.shape)
+
+
+def get_fused_run(arrays, groups, *, n_tx, approx, sigmoid, interpret):
+    """Cached differentiable kernel entry.
+
+    Picks the fully-unrolled kernel (walls baked as immediates) below the
+    ~16-candidate scheduler crossover and the fori_loop kernel above it,
+    wraps the result in the custom_vjp adapter, jits the per-TX loop into
+    one dispatch, and caches by kernel structure (bounded LRU).
+
+    Signature of the returned callable:
+    ``run(pixels[P, 2], txs[n_tx, 2], walls[W, 2, 2], kind[W], phi[W],
+    scalars[5]) -> [P]``.
+    """
     walls_np = np.asarray(arrays.walls)
     kinds_np = np.asarray(arrays.kind)
     total_candidates = sum(int(g.shape[0]) for g in groups.values())
@@ -725,50 +843,61 @@ def pallas_power_map(
             sigmoid,
             interpret,
         )
-    n_tx = len(scene.transmitters)
     cache_key = (*cache_key, n_tx)
     run = _KERNEL_CACHE.get(cache_key)
-    if run is None:
-        if use_looped:
-            looped = build_power_map_kernel_looped(
-                int(walls_np.shape[0]),
-                groups,
-                approx=approx,
-                sigmoid=sigmoid,
-                interpret=interpret,
-            )
+    if run is not None:
+        _KERNEL_CACHE.move_to_end(cache_key)
+        return run
 
-            def run(pixels, txs, walls, kind, phi, scalars):
-                out = None
-                for t in range(n_tx):
-                    z = looped(pixels, txs[t], walls, kind, phi, scalars)
-                    out = z if out is None else out + z
-                return out
+    if use_looped:
+        looped = build_power_map_kernel_looped(
+            int(walls_np.shape[0]),
+            groups,
+            approx=approx,
+            sigmoid=sigmoid,
+            interpret=interpret,
+        )
 
-        else:
-            kernel = build_power_map_kernel(
-                walls_np,
-                kinds_np,
-                groups,
-                approx=approx,
-                sigmoid=sigmoid,
-                interpret=interpret,
-            )
+        def run(pixels, txs, walls, kind, phi, scalars):
+            out = None
+            for t in range(n_tx):
+                z = looped(pixels, txs[t], walls, kind, phi, scalars)
+                out = z if out is None else out + z
+            return out
 
-            def run(pixels, txs, walls, kind, phi, scalars):
-                out = None
-                for t in range(n_tx):
-                    z = kernel(pixels, txs[t], phi, scalars)
-                    out = z if out is None else out + z
-                return out
+    else:
+        kernel = build_power_map_kernel(
+            walls_np,
+            kinds_np,
+            groups,
+            approx=approx,
+            sigmoid=sigmoid,
+            interpret=interpret,
+        )
 
-        # One jitted entry per (kernel, n_tx): the whole per-TX loop is a
-        # single device dispatch (remote-TPU tunnels pay per-op latency).
-        run = jax.jit(run)
-        _KERNEL_CACHE[cache_key] = run
+        def run(pixels, txs, walls, kind, phi, scalars):
+            out = None
+            for t in range(n_tx):
+                z = kernel(pixels, txs[t], phi, scalars)
+                out = z if out is None else out + z
+            return out
 
-    pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
-    scalars = jnp.array([alpha, tol, patch, r_coef, height], dtype=jnp.float32)
-    txs = jnp.stack([tx.xy for tx in scene.transmitters.values()])
-    out = run(pixels, txs, arrays.walls, arrays.kind, arrays.phi, scalars)
-    return out.reshape(X.shape)
+    # One jitted entry per (kernel, n_tx): the whole per-TX loop is a
+    # single device dispatch (remote-TPU tunnels pay per-op latency).
+    # The custom_vjp wrapper makes the kernel differentiable: the primal
+    # runs the fused Pallas kernel, while cotangents w.r.t. pixels / TX /
+    # walls / phi / scalars come from the XLA tracer's VJP (identical
+    # numerics), so jax.grad over scene parameters works through the
+    # default backend.
+    run = _differentiable_run(
+        jax.jit(run),
+        kinds_np,
+        groups,
+        n_tx=n_tx,
+        approx=approx,
+        sigmoid=sigmoid,
+    )
+    _KERNEL_CACHE[cache_key] = run
+    while len(_KERNEL_CACHE) > _KERNEL_CACHE_MAX:
+        _KERNEL_CACHE.popitem(last=False)
+    return run

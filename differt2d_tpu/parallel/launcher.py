@@ -81,10 +81,18 @@ def host_local_pixels(
     if jax.process_count() == 1:
         return jax.device_put(pixels, sharding), n
 
-    per_process = padded // jax.process_count()
-    start = jax.process_index() * per_process
-    local = np.asarray(pixels[start : start + per_process])
-    global_arr = jax.make_array_from_process_local_data(
-        sharding, local, global_shape=(padded, 2)
+    # Every host can compute the full (tiny) pixel array, so build the
+    # global array from explicit per-device shards: each addressable
+    # device receives exactly the global rows the sharding assigns to it.
+    # This is correct for any device enumeration order (process-contiguous
+    # or topology-interleaved).
+    host_pixels = np.asarray(pixels)
+    index_map = sharding.addressable_devices_indices_map((padded, 2))
+    shards = [
+        jax.device_put(host_pixels[idx], device)
+        for device, idx in index_map.items()
+    ]
+    global_arr = jax.make_array_from_single_device_arrays(
+        (padded, 2), sharding, shards
     )
     return global_arr, n

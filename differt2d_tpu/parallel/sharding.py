@@ -110,10 +110,8 @@ def power_map_sharded(
 def _make_sharded_pallas_fn(scene, mesh: Mesh, axis_name: str, kwargs: dict):
     """Wrap the fused Pallas kernel in :func:`jax.shard_map` over the
     pixel axis (each device runs the kernel on its local shard)."""
-    import numpy as np
-
     from ..logic import ENABLE_APPROX
-    from ..ops.pallas_kernels import build_power_map_kernel
+    from ..ops.pallas_kernels import get_fused_run
     from ..rt import path_candidate_matrices
     from jax.sharding import PartitionSpec as P
 
@@ -152,23 +150,21 @@ def _make_sharded_pallas_fn(scene, mesh: Mesh, axis_name: str, kwargs: dict):
         order=order,
         filter_nodes=filter_nodes,
     )
-    kernel = build_power_map_kernel(
-        np.asarray(arrays.walls),
-        np.asarray(arrays.kind),
+    # Shared cached kernel (same unrolled/looped crossover and LRU cache
+    # as the single-device path).
+    run = get_fused_run(
+        arrays,
         groups,
+        n_tx=len(scene.transmitters),
         approx=approx,
         sigmoid=sigmoid,
         interpret=jax.default_backend() == "cpu",
     )
     scalars = jnp.array([alpha, tol, patch, r_coef, height], dtype=jnp.float32)
-    tx_points = [tx.xy for tx in scene.transmitters.values()]
+    txs = jnp.stack([tx.xy for tx in scene.transmitters.values()])
 
     def local_fn(pixels):
-        out = None
-        for tx in tx_points:
-            z = kernel(pixels, tx, arrays.phi, scalars)
-            out = z if out is None else out + z
-        return out
+        return run(pixels, txs, arrays.walls, arrays.kind, arrays.phi, scalars)
 
     return jax.jit(
         jax.shard_map(
@@ -221,7 +217,8 @@ def make_train_step(
     @jax.jit
     def step(params, opt_state, pixels, alpha):
         loss, grads = jax.value_and_grad(loss_fn)(params, pixels, alpha)
-        updates, opt_state = optimizer.update(grads, opt_state)
+        # Pass params so params-aware transforms (adamw, lars, ...) work.
+        updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         return params, opt_state, loss
 

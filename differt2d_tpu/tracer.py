@@ -571,6 +571,52 @@ def make_pixels_fn(
     return run
 
 
+_XLA_RUN_CACHE = None
+
+
+def _kwargs_fingerprint(kwargs: dict, grad: bool, value_and_grad: bool):
+    """Hashable fingerprint of a power_map request, or ``None`` when any
+    option defies fingerprinting (then the call simply isn't cached)."""
+    parts = [("grad", grad), ("vag", value_and_grad)]
+    for name in sorted(kwargs):
+        value = kwargs[name]
+        if isinstance(value, (bool, int, float, str, type(None))):
+            parts.append((name, value))
+        elif isinstance(value, (jax.Array, np.ndarray)):
+            try:
+                parts.append((name, np.asarray(value).tobytes()))
+            except Exception:  # traced / non-concrete arrays: don't cache
+                return None
+        elif callable(value):
+            # Named functions hash stably; per-call lambdas just miss.
+            parts.append((name, value))
+        else:
+            return None
+    try:
+        return hash(tuple(parts))
+    except TypeError:
+        return None
+
+
+def _xla_run_cache_get(scene, fingerprint):
+    global _XLA_RUN_CACHE
+    import weakref
+
+    if _XLA_RUN_CACHE is None:
+        _XLA_RUN_CACHE = weakref.WeakKeyDictionary()
+    try:
+        return _XLA_RUN_CACHE.get(scene, {}).get(fingerprint)
+    except TypeError:
+        return None
+
+
+def _xla_run_cache_put(scene, fingerprint, run):
+    try:
+        _XLA_RUN_CACHE.setdefault(scene, {})[fingerprint] = run
+    except TypeError:
+        pass
+
+
 def _pallas_eligible(scene, kwargs: dict) -> bool:
     """Whether the fused Pallas kernel covers this power_map request.
 
@@ -580,6 +626,10 @@ def _pallas_eligible(scene, kwargs: dict) -> bool:
     residual is direction-dependent, reference ``geometry.py:698-711``),
     so RIS scenes fall back in that mode.
     """
+    # The kernel targets the TPU Mosaic dialect; on CPU it runs in
+    # interpreter mode. Any other backend (GPU, ...) uses the XLA tracer.
+    if jax.default_backend() not in ("tpu", "cpu"):
+        return False
     if kwargs.get("solver", "image") != "image":
         return False
     if kwargs.get("power_fun") is not None:
@@ -641,8 +691,28 @@ def power_map(
         from .ops.pallas_kernels import pallas_power_map
 
         if grad or value_and_grad:
-            msg = "backend='pallas' is forward-only; use backend='xla' for grads"
+            msg = (
+                "backend='pallas' computes values only (pixel-gradient maps"
+                " run on the XLA tracer; use backend='xla' or 'auto')"
+            )
             raise ValueError(msg)
+        if backend == "pallas":
+            # A forced backend must not silently change the requested
+            # computation -- validate instead of dropping options.
+            unsupported = {
+                "solver": kwargs.get("solver", "image") != "image",
+                "power_fun": kwargs.get("power_fun") is not None,
+                "many": kwargs.get("many", 1) != 1,
+                "function": kwargs.get("function", hard_sigmoid)
+                not in (hard_sigmoid, _sigmoid),
+            }
+            bad = sorted(name for name, is_bad in unsupported.items() if is_bad)
+            if bad:
+                msg = (
+                    f"backend='pallas' does not support these options: {bad};"
+                    " use backend='xla'"
+                )
+                raise ValueError(msg)
         function = kwargs.pop("function", hard_sigmoid)
         kwargs.pop("solver", None)
         kwargs.pop("key", None)  # image solver ignores the key
@@ -671,11 +741,24 @@ def power_map(
         )
 
     kwargs.pop("backend", None)
-    run = make_pixels_fn(
-        scene, grad=grad, value_and_grad=value_and_grad, **kwargs
+    run = None
+    fingerprint = None
+    traced_scene = any(
+        isinstance(leaf, jax.core.Tracer)
+        for leaf in jax.tree_util.tree_leaves(scene)
     )
-    if jit:
-        run = jax.jit(run)
+    if jit and not traced_scene:
+        fingerprint = _kwargs_fingerprint(kwargs, grad, value_and_grad)
+        if fingerprint is not None:
+            run = _xla_run_cache_get(scene, fingerprint)
+    if run is None:
+        run = make_pixels_fn(
+            scene, grad=grad, value_and_grad=value_and_grad, **kwargs
+        )
+        if jit:
+            run = jax.jit(run)
+            if fingerprint is not None:
+                _xla_run_cache_put(scene, fingerprint, run)
     pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)  # [P, 2]
     result = run(pixels)
 

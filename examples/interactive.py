@@ -96,16 +96,22 @@ class InteractivePowerMap:
         if event.inaxes is not self.ax or event.xdata is None:
             return
         coords = jnp.array([event.xdata, event.ydata])
-        name, dist = self.scene.get_closest_transmitter(coords)
-        if dist < 0.05:
-            self.dragging = ("tx", name)
+        tx_name, tx_dist = self.scene.get_closest_transmitter(coords)
+        rx_name, rx_dist = self.scene.get_closest_receiver(coords)
+        if tx_dist < 0.05 and tx_dist <= rx_dist:
+            self.dragging = ("tx", tx_name)
+        elif rx_dist < 0.05:
+            self.dragging = ("rx", rx_name)
 
     def _on_motion(self, event):
         if self.dragging is None or event.inaxes is not self.ax:
             return
         kind, name = self.dragging
         point = Point(xy=jnp.array([event.xdata, event.ydata]))
-        self.scene = self.scene.update_transmitters(**{name: point})
+        if kind == "tx":
+            self.scene = self.scene.update_transmitters(**{name: point})
+        else:
+            self.scene = self.scene.update_receivers(**{name: point})
         self.redraw()
 
     def _on_release(self, _event):

@@ -35,6 +35,10 @@ WORKER = textwrap.dedent(
     run = jax.jit(make_pixels_fn(scene, max_order=1, approx=True))
     out = run(pix)
     print("SUM", float(jnp.sum(out)), flush=True)
+    # Position-weighted checksum: sensitive to row permutation, so it
+    # catches scrambled shard ownership that a plain sum would hide.
+    weights = jnp.arange(out.shape[0], dtype=jnp.float32)
+    print("WSUM", float(jnp.sum(out * weights)), flush=True)
     """
 )
 
@@ -70,11 +74,37 @@ def test_two_process_global_map(tmp_path):
         outs.append(out)
         assert p.returncode == 0, out[-2000:]
 
-    sums = []
-    for out in outs:
-        lines = [ln for ln in out.splitlines() if ln.startswith("SUM ")]
-        assert lines, out[-2000:]
-        sums.append(float(lines[-1].split()[1]))
+    def extract(prefix):
+        vals = []
+        for out in outs:
+            lines = [
+                ln for ln in out.splitlines() if ln.startswith(prefix + " ")
+            ]
+            assert lines, out[-2000:]
+            vals.append(float(lines[-1].split()[1]))
+        return vals
+
+    sums = extract("SUM")
+    wsums = extract("WSUM")
     # Both hosts observe the same global map.
     assert abs(sums[0] - sums[1]) < 1e-3
     assert sums[0] > 0
+    assert abs(wsums[0] - wsums[1]) < 1e-2
+
+    # Position-weighted checksum vs a single-process reference: catches
+    # permuted shard ownership.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from differt2d_tpu.scene import Scene
+    from differt2d_tpu.tracer import make_pixels_fn
+
+    scene = Scene.basic_scene()
+    X, Y = jnp.meshgrid(jnp.linspace(0.05, 0.95, 16), jnp.linspace(0.05, 0.95, 16))
+    pix = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+    ref = make_pixels_fn(scene, max_order=1, approx=True)(pix)
+    weights = jnp.arange(ref.shape[0], dtype=jnp.float32)
+    ref_wsum = float(jnp.sum(ref * weights))
+    assert abs(wsums[0] - ref_wsum) / max(abs(ref_wsum), 1.0) < 1e-4

@@ -347,6 +347,19 @@ def _blocked(
     return jnp.any(hit.reshape(C, -1), axis=-1)
 
 
+def _all_vertex_rows(kind: jax.Array, cand_np: np.ndarray) -> bool:
+    """Host-side check that every candidate row consists only of vertices.
+
+    ``kind`` is always concrete (it is derived from object types, never
+    from traced values), but be defensive under exotic tracing.
+    """
+    try:
+        kinds_np = np.asarray(kind)
+    except Exception:
+        return False
+    return bool(np.all(kinds_np[cand_np] == KIND_VERTEX))
+
+
 def _received_power_batched(
     pts_full: jax.Array, order: int, r_coef, height
 ) -> jax.Array:
@@ -397,6 +410,16 @@ def _accumulate_pixel(
                 axis=1,
             )
             loss = _bounce_residuals(full, cw, ckind, cphi)
+        elif _all_vertex_rows(arrays.kind, cand_np):
+            # All-vertex candidates (the vertex-diffraction workflow):
+            # every parameter is inert -- the solver's objective is
+            # constant, adam's zero gradient leaves the init unchanged,
+            # and the bounce points are just the vertex locations. Skip
+            # the optimization; the result is bit-for-bit what running
+            # it would produce (vertex residuals are identically zero,
+            # reference geometry.py:416-419).
+            pts = cw[:, :, 0, :]
+            loss = jnp.zeros(C)
         else:
             pts, loss = _solve_opt(
                 tx, rx, cw, ckind, cphi, group_keys[order],

@@ -92,12 +92,29 @@ def segments_intersect(
 
 
 def path_length(points: jax.Array) -> jax.Array:
-    """Polyline length with eps-guarded gradient (reference ``geometry.py:178-203``)."""
+    """Polyline length with eps-guarded gradient (reference ``geometry.py:178-203``).
+
+    >>> import jax.numpy as jnp
+    >>> from differt2d_tpu.geometry import path_length
+    >>> pts = jnp.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]])
+    >>> round(float(path_length(pts)), 4)  # 1 + 1 + sqrt(2)
+    3.4142
+    """
     return _ops.path_length(points)
 
 
 def normalize(vector: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Unit vector and length, zero-safe (reference ``geometry.py:206-230``)."""
+    """Unit vector and length, zero-safe (reference ``geometry.py:206-230``).
+
+    >>> import jax.numpy as jnp
+    >>> from differt2d_tpu.geometry import normalize
+    >>> v, length = normalize(jnp.array([3.0, 4.0]))
+    >>> round(float(length), 4), [round(float(x), 4) for x in v]
+    (5.0, [0.6, 0.8])
+    >>> v0, l0 = normalize(jnp.zeros(2))  # zero vector: length 1 by guard
+    >>> float(l0)
+    1.0
+    """
     return _ops.normalize(vector)
 
 

@@ -30,6 +30,12 @@ def minimize(
     convention makes this descent). Returns ``(x, last_loss)`` where
     ``last_loss`` is the loss evaluated at the second-to-last iterate,
     exactly as the reference's ``losses[-1]``.
+
+    >>> import jax.numpy as jnp
+    >>> from differt2d_tpu.optimize import minimize
+    >>> x, y = minimize(lambda x: jnp.sum((x - 1.0) ** 2), jnp.zeros(3))
+    >>> bool(jnp.allclose(x, 1.0, rtol=1e-2)), bool(y < 1e-3)
+    (True, True)
     """
     optimizer = optimizer or optax.adam(learning_rate=0.1)
     f_and_df = jax.value_and_grad(fun)

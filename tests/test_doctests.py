@@ -1,0 +1,27 @@
+"""Doctest runner, mirroring the reference's ``--doctest-modules``
+strategy (reference ``pyproject.toml:174-200``): docstring examples in
+the core modules are executable and correct."""
+
+import doctest
+
+import pytest
+
+import differt2d_tpu.geometry
+import differt2d_tpu.logic
+import differt2d_tpu.optimize
+import differt2d_tpu.utils
+
+
+@pytest.mark.parametrize(
+    "module",
+    [
+        differt2d_tpu.geometry,
+        differt2d_tpu.logic,
+        differt2d_tpu.optimize,
+        differt2d_tpu.utils,
+    ],
+    ids=lambda m: m.__name__,
+)
+def test_module_doctests(module):
+    results = doctest.testmod(module, verbose=False)
+    assert results.failed == 0, f"{results.failed} doctest failures"

@@ -751,13 +751,18 @@ def pallas_power_map(
     r_coef: float = 0.5,
     height: float = 0.1,
     filter_objects=None,
+    solver: str = "image",
+    steps: int = 100,
+    key: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Power map through the fused Pallas kernel (image solver).
+    """Power map through the fused Pallas kernels.
 
-    Drop-in for :func:`differt2d_tpu.tracer.power_map` on its default
-    configuration; see :func:`build_power_map_kernel` for what is baked
-    in vs runtime-tunable.
+    Drop-in for :func:`differt2d_tpu.tracer.power_map`: ``solver="image"``
+    uses the unrolled/looped image kernels (any orders); ``"fermat"`` /
+    ``"mpt"`` use the in-kernel adam solver
+    (:mod:`differt2d_tpu.ops.pallas_solver`, order-1 candidates only,
+    ``key`` required for the init draw).
     """
     from ..logic import ENABLE_APPROX
     from ..rt import path_candidate_matrices
@@ -785,6 +790,20 @@ def pallas_power_map(
         filter_nodes=filter_nodes,
     )
 
+    pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+    scalars = jnp.array([alpha, tol, patch, r_coef, height], dtype=jnp.float32)
+    txs = jnp.stack([tx.xy for tx in scene.transmitters.values()])
+
+    if solver in ("fermat", "mpt"):
+        return _opt_solver_map(
+            scene, arrays, groups, pixels, txs, scalars,
+            solver=solver, steps=steps, key=key,
+            approx=approx, sigmoid=sigmoid, interpret=interpret,
+        ).reshape(X.shape)
+    if solver != "image":
+        msg = f"unknown solver {solver!r}"
+        raise ValueError(msg)
+
     run = get_fused_run(
         arrays,
         groups,
@@ -793,12 +812,76 @@ def pallas_power_map(
         sigmoid=sigmoid,
         interpret=interpret,
     )
-
-    pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
-    scalars = jnp.array([alpha, tol, patch, r_coef, height], dtype=jnp.float32)
-    txs = jnp.stack([tx.xy for tx in scene.transmitters.values()])
     out = run(pixels, txs, arrays.walls, arrays.kind, arrays.phi, scalars)
     return out.reshape(X.shape)
+
+
+def _opt_solver_map(
+    scene, arrays, groups, pixels, txs, scalars,
+    *, solver, steps, key, approx, sigmoid, interpret,
+):
+    """Order-1 Fermat/MPT map via the in-kernel adam solver."""
+    from .pallas_solver import build_opt_order1_kernel
+
+    if sorted(groups) != [1]:
+        msg = (
+            "the Pallas opt-solver kernel supports exactly order-1"
+            f" candidates, got orders {sorted(groups)}"
+        )
+        raise ValueError(msg)
+    if key is None:
+        msg = f"solver {solver!r} requires a PRNG key"
+        raise ValueError(msg)
+    cands = groups[1]
+    kinds_np = np.asarray(arrays.kind)
+    if np.any(kinds_np[cands[:, 0]] == KIND_VERTEX):
+        msg = "vertex candidates are handled by the XLA path"
+        raise ValueError(msg)
+
+    # PRNG parity with the XLA tracer (reference scene.py:1887-1890):
+    # one key per candidate in enumeration order, one uniform draw each.
+    keys = jax.random.split(key, cands.shape[0])
+    x0 = jax.vmap(lambda k: jax.random.uniform(k, shape=(1,))[0])(keys)
+
+    cache_key = (
+        "opt1",
+        np.asarray(arrays.walls).tobytes(),
+        kinds_np.tobytes(),
+        cands.tobytes(),
+        cands.shape,
+        solver,
+        steps,
+        approx,
+        sigmoid,
+        interpret,
+        int(txs.shape[0]),
+    )
+    run = _KERNEL_CACHE.get(cache_key)
+    if run is None:
+        kernel = build_opt_order1_kernel(
+            np.asarray(arrays.walls),
+            kinds_np,
+            cands,
+            objective=solver,
+            approx=approx,
+            sigmoid=sigmoid,
+            steps=steps,
+            interpret=interpret,
+        )
+        n_tx = int(txs.shape[0])
+
+        def run(pixels, txs, phi, x0, scalars):
+            out = None
+            for t in range(n_tx):
+                z = kernel(pixels, txs[t], phi, x0, scalars)
+                out = z if out is None else out + z
+            return out
+
+        run = jax.jit(run)
+        _KERNEL_CACHE[cache_key] = run
+        while len(_KERNEL_CACHE) > _KERNEL_CACHE_MAX:
+            _KERNEL_CACHE.popitem(last=False)
+    return run(pixels, txs, arrays.phi, x0, scalars)
 
 
 def get_fused_run(arrays, groups, *, n_tx, approx, sigmoid, interpret):

@@ -653,6 +653,11 @@ def _pallas_eligible(scene, kwargs: dict) -> bool:
     # interpreter mode. Any other backend (GPU, ...) uses the XLA tracer.
     if jax.default_backend() not in ("tpu", "cpu"):
         return False
+    # Fermat/MPT stay on the XLA tracer under auto dispatch: the
+    # in-kernel adam solver (opt-in via backend='pallas') is 1.5x faster
+    # with ~100x faster compiles, but 100-step optimizer trajectories
+    # amplify TPU transcendental-approximation differences beyond
+    # allclose tolerance at validity boundaries.
     if kwargs.get("solver", "image") != "image":
         return False
     if kwargs.get("power_fun") is not None:
@@ -723,7 +728,8 @@ def power_map(
             # A forced backend must not silently change the requested
             # computation -- validate instead of dropping options.
             unsupported = {
-                "solver": kwargs.get("solver", "image") != "image",
+                "solver": kwargs.get("solver", "image")
+                not in ("image", "fermat", "mpt"),
                 "power_fun": kwargs.get("power_fun") is not None,
                 "many": kwargs.get("many", 1) != 1,
                 "function": kwargs.get("function", hard_sigmoid)
@@ -737,9 +743,13 @@ def power_map(
                 )
                 raise ValueError(msg)
         function = kwargs.pop("function", hard_sigmoid)
-        kwargs.pop("solver", None)
-        kwargs.pop("key", None)  # image solver ignores the key
-        kwargs.pop("steps", None)
+        solver = kwargs.pop("solver", "image")
+        key = kwargs.pop("key", None)  # the image solver ignores the key
+        steps = kwargs.pop("steps", 100)
+        if solver in ("fermat", "mpt"):
+            kwargs["solver"] = solver
+            kwargs["key"] = key
+            kwargs["steps"] = steps
         kwargs.pop("many", None)
         kwargs.pop("power_fun", None)
         on_transmitters = kwargs.pop("on_transmitters", False)

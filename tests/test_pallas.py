@@ -177,6 +177,75 @@ def test_auto_backend_order2_uses_looped(grids):
     chex.assert_trees_all_close(auto, ref, **TOL)
 
 
+class TestOptSolverKernel:
+    """Opt-in in-kernel adam solver (backend='pallas', order-1 fermat/mpt).
+
+    In interpreter mode (CPU) it matches the XLA tracer; on real TPU the
+    two 100-step adam trajectories may diverge at validity boundaries
+    (documented), which is why it is not auto-dispatched.
+    """
+
+    def test_mpt_ris_matches_xla(self, grids, key):
+        scene = Scene.square_scene().add_objects(
+            RIS(xys=jnp.array([[0.5, 0.3], [0.5, 0.7]]))
+        )
+        flt = lambda o: isinstance(o, RIS)  # noqa: E731
+        X, Y = grids
+        pal = tracer.power_map(
+            scene, X, Y, order=1, solver="mpt", steps=50, approx=True,
+            key=key, filter_objects=flt, backend="pallas",
+        )
+        ref = tracer.power_map(
+            scene, X, Y, order=1, solver="mpt", steps=50, approx=True,
+            key=key, filter_objects=flt, backend="xla",
+        )
+        chex.assert_trees_all_close(pal, ref, rtol=1e-3, atol=1e-5)
+
+    def test_fermat_walls_matches_xla(self, grids, key):
+        scene = Scene.square_scene()
+        X, Y = grids
+        pal = tracer.power_map(
+            scene, X, Y, order=1, solver="fermat", steps=50, approx=True,
+            key=key, backend="pallas",
+        )
+        ref = tracer.power_map(
+            scene, X, Y, order=1, solver="fermat", steps=50, approx=True,
+            key=key, backend="xla",
+        )
+        chex.assert_trees_all_close(pal, ref, rtol=1e-3, atol=1e-4)
+
+    def test_rejects_multi_order(self, grids, key):
+        scene = Scene.square_scene()
+        X, Y = grids
+        with pytest.raises(ValueError):
+            tracer.power_map(
+                scene, X, Y, max_order=2, solver="mpt", approx=True,
+                key=key, backend="pallas",
+            )
+
+    def test_requires_key(self, grids):
+        scene = Scene.square_scene()
+        X, Y = grids
+        with pytest.raises(ValueError):
+            tracer.power_map(
+                scene, X, Y, order=1, solver="mpt", approx=True,
+                backend="pallas",
+            )
+
+    def test_auto_keeps_solvers_on_xla(self, grids, key):
+        """Auto dispatch must not route fermat/mpt to the kernel."""
+        scene = Scene.square_scene()
+        X, Y = grids
+        auto = tracer.power_map(
+            scene, X, Y, order=1, solver="mpt", steps=30, approx=True, key=key
+        )
+        ref = tracer.power_map(
+            scene, X, Y, order=1, solver="mpt", steps=30, approx=True,
+            key=key, backend="xla",
+        )
+        chex.assert_trees_all_equal(auto, ref)
+
+
 def test_multiple_transmitters(grids):
     from differt2d_tpu.geometry import Point
 

@@ -22,6 +22,14 @@ def main():
     parser.add_argument("--resolution", type=int, default=150)
     parser.add_argument("--phi", type=float, default=jnp.pi / 4)
     parser.add_argument("--steps", type=int, default=1000)
+    parser.add_argument(
+        "--backend",
+        type=str,
+        default="auto",
+        choices=("auto", "xla", "pallas"),
+        help="'pallas' opts into the in-kernel adam solver "
+        "(1.5x faster, ~100x faster compile)",
+    )
     parser.add_argument("--output", type=str, default=None)
     args = parser.parse_args()
 
@@ -42,6 +50,7 @@ def main():
         approx=True,
         key=key,
         filter_objects=lambda o: isinstance(o, RIS),
+        backend=args.backend,
     )
 
     fig, ax = plt.subplots()

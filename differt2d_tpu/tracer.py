@@ -682,6 +682,125 @@ def _pallas_eligible(scene, kwargs: dict) -> bool:
     return True
 
 
+def trace_paths(
+    scene,
+    tx: jax.Array,
+    rx: jax.Array,
+    *,
+    min_order: int = 0,
+    max_order: int = 1,
+    order: Optional[int] = None,
+    solver: str = "image",
+    approx: Optional[bool] = None,
+    alpha=DEFAULT_ALPHA,
+    function=hard_sigmoid,
+    tol=1e-2,
+    patch=DEFAULT_PATCH,
+    steps: int = 100,
+    many: int = 1,
+    key: Optional[jax.Array] = None,
+    filter_objects=None,
+) -> dict[int, dict[str, jax.Array]]:
+    """Array-native path tracing for one TX-RX pair.
+
+    Vectorized counterpart of :meth:`Scene.all_paths` (reference
+    ``scene.py:1156-1228``): instead of a Python generator of per-path
+    objects, returns per-order batched arrays ready for further jitted
+    processing (serving, learned samplers, analysis).
+
+    :return: ``{order: {"candidates": int32[C, order],
+        "points": f32[C, order+2, 2], "loss": f32[C],
+        "valid": truthy[C]}}``.
+    """
+    from .logic import ENABLE_APPROX
+
+    if approx is None:
+        approx = ENABLE_APPROX
+
+    arrays = scene_arrays(scene)
+    if arrays is None:
+        msg = "trace_paths requires Wall/RIS/Vertex objects only"
+        raise ValueError(msg)
+    if filter_objects is None:
+        filter_nodes = None
+    else:
+        filter_nodes = tuple(
+            i for i, obj in enumerate(scene.objects) if not filter_objects(obj)
+        )
+    groups = path_candidate_matrices(
+        arrays.num_objects,
+        min_order=min_order,
+        max_order=max_order,
+        order=order,
+        filter_nodes=filter_nodes,
+    )
+
+    group_keys: dict[int, Optional[jax.Array]] = {o: None for o in groups}
+    if key is not None:
+        total = sum(g.shape[0] for g in groups.values())
+        keys = jax.random.split(key, total)
+        start = 0
+        for o in sorted(groups):
+            C = groups[o].shape[0]
+            group_keys[o] = keys[start : start + C]
+            start += C
+
+    tx = jnp.asarray(tx)
+    rx = jnp.asarray(rx)
+    out: dict[int, dict[str, jax.Array]] = {}
+    for o, cand_np in sorted(groups.items()):
+        C = cand_np.shape[0]
+        if C == 0:
+            continue
+        cand = jnp.asarray(cand_np)
+        cw = arrays.walls[cand]
+        ckind = arrays.kind[cand]
+        cphi = arrays.phi[cand]
+
+        if o == 0:
+            pts = jnp.zeros((C, 0, 2))
+            loss = jnp.zeros(C)
+        elif solver == "image":
+            pts = _solve_image(tx, rx, cw, ckind)
+            full = jnp.concatenate(
+                [jnp.broadcast_to(tx, (C, 1, 2)), pts,
+                 jnp.broadcast_to(rx, (C, 1, 2))],
+                axis=1,
+            )
+            loss = _bounce_residuals(full, cw, ckind, cphi)
+        elif _all_vertex_rows(arrays.kind, cand_np):
+            pts = cw[:, :, 0, :]
+            loss = jnp.zeros(C)
+        else:
+            pts, loss = _solve_opt(
+                tx, rx, cw, ckind, cphi, group_keys[o],
+                objective=solver, steps=steps, many=many,
+            )
+
+        pts_full = jnp.concatenate(
+            [jnp.broadcast_to(tx, (C, 1, 2)), pts,
+             jnp.broadcast_to(rx, (C, 1, 2))],
+            axis=1,
+        )
+        on = _on_objects(pts, cw, ckind, approx, alpha, function)
+        blk = _blocked(pts_full, cand, arrays, patch, approx, alpha, function)
+        if approx:
+            loss_ok = function(tol - loss, alpha)
+            valid = jnp.nan_to_num(
+                jnp.minimum(jnp.minimum(on, 1.0 - blk), loss_ok)
+            )
+        else:
+            valid = on & (~blk) & (loss < tol)
+
+        out[o] = {
+            "candidates": cand,
+            "points": pts_full,
+            "loss": loss,
+            "valid": valid,
+        }
+    return out
+
+
 def power_map(
     scene,
     X: jax.Array,

@@ -820,15 +820,35 @@ def _opt_solver_map(
     scene, arrays, groups, pixels, txs, scalars,
     *, solver, steps, key, approx, sigmoid, interpret,
 ):
-    """Order-1 Fermat/MPT map via the in-kernel adam solver."""
+    """Order-1 Fermat/MPT map via the in-kernel adam solver.
+
+    An order-0 (LOS) group, if present, is solver-independent and is
+    accumulated through the image kernel; orders >= 2 are not supported
+    by the in-kernel solver.
+    """
     from .pallas_solver import build_opt_order1_kernel
 
-    if sorted(groups) != [1]:
+    if not set(groups) <= {0, 1}:
         msg = (
-            "the Pallas opt-solver kernel supports exactly order-1"
-            f" candidates, got orders {sorted(groups)}"
+            "the Pallas opt-solver kernel supports order<=1 candidates,"
+            f" got orders {sorted(groups)}; use backend='xla'"
         )
         raise ValueError(msg)
+    los = jnp.zeros(pixels.shape[0])
+    if 0 in groups and groups[0].shape[0]:
+        los_run = get_fused_run(
+            arrays,
+            {0: groups[0]},
+            n_tx=int(txs.shape[0]),
+            approx=approx,
+            sigmoid=sigmoid,
+            interpret=interpret,
+        )
+        los = los_run(
+            pixels, txs, arrays.walls, arrays.kind, arrays.phi, scalars
+        )
+    if 1 not in groups or groups[1].shape[0] == 0:
+        return los
     if key is None:
         msg = f"solver {solver!r} requires a PRNG key"
         raise ValueError(msg)
@@ -839,8 +859,11 @@ def _opt_solver_map(
         raise ValueError(msg)
 
     # PRNG parity with the XLA tracer (reference scene.py:1887-1890):
-    # one key per candidate in enumeration order, one uniform draw each.
-    keys = jax.random.split(key, cands.shape[0])
+    # one key per candidate in global (order-major) enumeration order --
+    # order-0 candidates consume keys before the order-1 group.
+    total = sum(int(g.shape[0]) for g in groups.values())
+    offset = int(groups[0].shape[0]) if 0 in groups else 0
+    keys = jax.random.split(key, total)[offset : offset + cands.shape[0]]
     x0 = jax.vmap(lambda k: jax.random.uniform(k, shape=(1,))[0])(keys)
 
     cache_key = (
@@ -857,6 +880,8 @@ def _opt_solver_map(
         int(txs.shape[0]),
     )
     run = _KERNEL_CACHE.get(cache_key)
+    if run is not None:
+        _KERNEL_CACHE.move_to_end(cache_key)
     if run is None:
         kernel = build_opt_order1_kernel(
             np.asarray(arrays.walls),
@@ -881,7 +906,7 @@ def _opt_solver_map(
         _KERNEL_CACHE[cache_key] = run
         while len(_KERNEL_CACHE) > _KERNEL_CACHE_MAX:
             _KERNEL_CACHE.popitem(last=False)
-    return run(pixels, txs, arrays.phi, x0, scalars)
+    return los + run(pixels, txs, arrays.phi, x0, scalars)
 
 
 def get_fused_run(arrays, groups, *, n_tx, approx, sigmoid, interpret):

@@ -391,59 +391,91 @@ def _accumulate_pixel(
     """
     acc = jnp.array(0.0)
     for order, cand_np in sorted(groups.items()):
-        C = cand_np.shape[0]
-        if C == 0:
+        if cand_np.shape[0] == 0:
             continue
-        cand = jnp.asarray(cand_np)
-        cw = arrays.walls[cand]  # [C, o, 2, 2]
-        ckind = arrays.kind[cand]
-        cphi = arrays.phi[cand]
+        pts_full, loss, valid = _trace_group(
+            tx, rx, arrays, order, cand_np, group_keys[order],
+            solver=solver, approx=approx, alpha=alpha, function=function,
+            tol=tol, patch=patch, steps=steps, many=many,
+        )
+        power = power_fun(pts_full, order)
+        acc = acc + jnp.sum(valid * power)
+    return acc
 
-        if order == 0:
-            pts = jnp.zeros((C, 0, 2))
-            loss = jnp.zeros(C)
-        elif solver == "image":
-            pts = _solve_image(tx, rx, cw, ckind)
-            full = jnp.concatenate(
-                [jnp.broadcast_to(tx, (C, 1, 2)), pts,
-                 jnp.broadcast_to(rx, (C, 1, 2))],
-                axis=1,
-            )
-            loss = _bounce_residuals(full, cw, ckind, cphi)
-        elif _all_vertex_rows(arrays.kind, cand_np):
-            # All-vertex candidates (the vertex-diffraction workflow):
-            # every parameter is inert -- the solver's objective is
-            # constant, adam's zero gradient leaves the init unchanged,
-            # and the bounce points are just the vertex locations. Skip
-            # the optimization; the result is bit-for-bit what running
-            # it would produce (vertex residuals are identically zero,
-            # reference geometry.py:416-419).
-            pts = cw[:, :, 0, :]
-            loss = jnp.zeros(C)
-        else:
-            pts, loss = _solve_opt(
-                tx, rx, cw, ckind, cphi, group_keys[order],
-                objective=solver, steps=steps, many=many,
-            )
 
-        pts_full = jnp.concatenate(
+def _trace_group(
+    tx: jax.Array,
+    rx: jax.Array,
+    arrays: SceneArrays,
+    order: int,
+    cand_np: np.ndarray,
+    keys: Optional[jax.Array],
+    *,
+    solver: str,
+    approx: bool,
+    alpha,
+    function,
+    tol,
+    patch,
+    steps: int,
+    many: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Solve + validate one order group of candidates.
+
+    Shared by :func:`_accumulate_pixel` and :func:`trace_paths`.
+
+    :return: ``(pts_full[C, order+2, 2], loss[C], valid[C])``.
+    """
+    C = cand_np.shape[0]
+    cand = jnp.asarray(cand_np)
+    cw = arrays.walls[cand]  # [C, o, 2, 2]
+    ckind = arrays.kind[cand]
+    cphi = arrays.phi[cand]
+
+    if order == 0:
+        pts = jnp.zeros((C, 0, 2))
+        loss = jnp.zeros(C)
+    elif solver == "image":
+        pts = _solve_image(tx, rx, cw, ckind)
+        full = jnp.concatenate(
             [jnp.broadcast_to(tx, (C, 1, 2)), pts,
              jnp.broadcast_to(rx, (C, 1, 2))],
             axis=1,
         )
+        loss = _bounce_residuals(full, cw, ckind, cphi)
+    elif _all_vertex_rows(arrays.kind, cand_np):
+        # All-vertex candidates (the vertex-diffraction workflow): every
+        # parameter is inert -- the solver's objective is constant, adam's
+        # zero gradient leaves the init unchanged, and the bounce points
+        # are just the vertex locations. Skip the optimization; the result
+        # is bit-for-bit what running it would produce (vertex residuals
+        # are identically zero, reference geometry.py:416-419).
+        pts = cw[:, :, 0, :]
+        loss = jnp.zeros(C)
+    else:
+        if keys is None:
+            msg = f"solver {solver!r} requires a PRNG key"
+            raise ValueError(msg)
+        pts, loss = _solve_opt(
+            tx, rx, cw, ckind, cphi, keys,
+            objective=solver, steps=steps, many=many,
+        )
 
-        on = _on_objects(pts, cw, ckind, approx, alpha, function)
-        blk = _blocked(pts_full, cand, arrays, patch, approx, alpha, function)
-        if approx:
-            loss_ok = function(tol - loss, alpha)
-            valid = jnp.minimum(jnp.minimum(on, 1.0 - blk), loss_ok)
-            valid = jnp.nan_to_num(valid)
-        else:
-            valid = on & (~blk) & (loss < tol)
+    pts_full = jnp.concatenate(
+        [jnp.broadcast_to(tx, (C, 1, 2)), pts,
+         jnp.broadcast_to(rx, (C, 1, 2))],
+        axis=1,
+    )
 
-        power = power_fun(pts_full, order)
-        acc = acc + jnp.sum(valid * power)
-    return acc
+    on = _on_objects(pts, cw, ckind, approx, alpha, function)
+    blk = _blocked(pts_full, cand, arrays, patch, approx, alpha, function)
+    if approx:
+        loss_ok = function(tol - loss, alpha)
+        valid = jnp.minimum(jnp.minimum(on, 1.0 - blk), loss_ok)
+        valid = jnp.nan_to_num(valid)
+    else:
+        valid = on & (~blk) & (loss < tol)
+    return pts_full, loss, valid
 
 
 def make_pixels_fn(
@@ -749,51 +781,15 @@ def trace_paths(
     rx = jnp.asarray(rx)
     out: dict[int, dict[str, jax.Array]] = {}
     for o, cand_np in sorted(groups.items()):
-        C = cand_np.shape[0]
-        if C == 0:
+        if cand_np.shape[0] == 0:
             continue
-        cand = jnp.asarray(cand_np)
-        cw = arrays.walls[cand]
-        ckind = arrays.kind[cand]
-        cphi = arrays.phi[cand]
-
-        if o == 0:
-            pts = jnp.zeros((C, 0, 2))
-            loss = jnp.zeros(C)
-        elif solver == "image":
-            pts = _solve_image(tx, rx, cw, ckind)
-            full = jnp.concatenate(
-                [jnp.broadcast_to(tx, (C, 1, 2)), pts,
-                 jnp.broadcast_to(rx, (C, 1, 2))],
-                axis=1,
-            )
-            loss = _bounce_residuals(full, cw, ckind, cphi)
-        elif _all_vertex_rows(arrays.kind, cand_np):
-            pts = cw[:, :, 0, :]
-            loss = jnp.zeros(C)
-        else:
-            pts, loss = _solve_opt(
-                tx, rx, cw, ckind, cphi, group_keys[o],
-                objective=solver, steps=steps, many=many,
-            )
-
-        pts_full = jnp.concatenate(
-            [jnp.broadcast_to(tx, (C, 1, 2)), pts,
-             jnp.broadcast_to(rx, (C, 1, 2))],
-            axis=1,
+        pts_full, loss, valid = _trace_group(
+            tx, rx, arrays, o, cand_np, group_keys[o],
+            solver=solver, approx=approx, alpha=alpha, function=function,
+            tol=tol, patch=patch, steps=steps, many=many,
         )
-        on = _on_objects(pts, cw, ckind, approx, alpha, function)
-        blk = _blocked(pts_full, cand, arrays, patch, approx, alpha, function)
-        if approx:
-            loss_ok = function(tol - loss, alpha)
-            valid = jnp.nan_to_num(
-                jnp.minimum(jnp.minimum(on, 1.0 - blk), loss_ok)
-            )
-        else:
-            valid = on & (~blk) & (loss < tol)
-
         out[o] = {
-            "candidates": cand,
+            "candidates": jnp.asarray(cand_np),
             "points": pts_full,
             "loss": loss,
             "valid": valid,
@@ -846,6 +842,15 @@ def power_map(
         if backend == "pallas":
             # A forced backend must not silently change the requested
             # computation -- validate instead of dropping options.
+            arrays_chk = scene_arrays(scene)
+            has_ris = False
+            if arrays_chk is not None:
+                try:
+                    has_ris = bool(
+                        np.any(np.asarray(arrays_chk.kind) == KIND_RIS)
+                    )
+                except Exception:
+                    has_ris = True
             unsupported = {
                 "solver": kwargs.get("solver", "image")
                 not in ("image", "fermat", "mpt"),
@@ -853,6 +858,12 @@ def power_map(
                 "many": kwargs.get("many", 1) != 1,
                 "function": kwargs.get("function", hard_sigmoid)
                 not in (hard_sigmoid, _sigmoid),
+                # TX-grid mode relies on path-reversal symmetry, which the
+                # direction-dependent RIS residual breaks.
+                "on_transmitters (RIS scene)": kwargs.get(
+                    "on_transmitters", False
+                )
+                and has_ris,
             }
             bad = sorted(name for name, is_bad in unsupported.items() if is_bad)
             if bad:

@@ -14,8 +14,9 @@ Endpoints:
 
 * ``GET  /health``                 -- liveness + device info
 * ``GET  /scenes``                 -- registered scene names
-* ``POST /power_map``              -- JSON {scene|walls, resolution|grid,
-  max_order, approx, alpha, tx?} -> {"power": [[...]], "elapsed_ms": t}
+* ``POST /power_map``              -- JSON {scene (name or wall list),
+  resolution, max_order, approx, alpha, tx?}
+  -> {"power": [[...]], "elapsed_ms": t}
 * ``POST /trace_paths``            -- JSON {scene, tx, rx, max_order}
   -> per-order candidates/points/validity
 

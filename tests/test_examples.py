@@ -2,10 +2,13 @@
 headlessly with tiny arguments (catches API drift in the user-facing
 scripts)."""
 
+import pathlib
 import runpy
 import sys
 
 import pytest
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parents[1]
 
 EXAMPLES = [
     ("examples/plot_power_map.py", ["--resolution", "12", "--output", "{tmp}/pm.png"]),
@@ -65,8 +68,9 @@ EXAMPLES = [
 def test_example_runs(script, args, tmp_path, monkeypatch):
     argv = ["prog"] + [a.format(tmp=tmp_path) for a in args]
     monkeypatch.setattr(sys, "argv", argv)
+    monkeypatch.syspath_prepend(str(REPO_ROOT))
     try:
-        runpy.run_path(script, run_name="__main__")
+        runpy.run_path(str(REPO_ROOT / script), run_name="__main__")
     finally:
         import matplotlib.pyplot as plt
 

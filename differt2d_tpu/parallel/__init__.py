@@ -18,6 +18,7 @@ from .sharding import (
     power_map_sharded,
     shard_pixels,
 )
+from .wall_sharded import power_map_wall_sharded, wall_grid_mesh
 
 __all__ = (
     "grid_mesh",
@@ -26,5 +27,7 @@ __all__ = (
     "initialize_from_env",
     "make_train_step",
     "power_map_sharded",
+    "power_map_wall_sharded",
     "shard_pixels",
+    "wall_grid_mesh",
 )

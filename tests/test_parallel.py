@@ -67,6 +67,50 @@ def test_sharded_pallas_backend(mesh):
     chex.assert_trees_all_close(out, ref, rtol=1e-4, atol=1e-5)
 
 
+class TestWallSharded:
+    """2D (grid x wall) mesh: the O(candidates x walls) visibility work
+    splits over the wall axis; results must match the replicated tracer."""
+
+    @pytest.fixture(scope="class")
+    def mesh2d(self):
+        from differt2d_tpu.parallel import wall_grid_mesh
+
+        return wall_grid_mesh(n_wall=4)
+
+    @pytest.mark.parametrize("approx", [True, False])
+    def test_matches_tracer(self, mesh2d, approx):
+        from differt2d_tpu.parallel import power_map_wall_sharded
+
+        scene = Scene.basic_scene()  # 7 walls: exercises padding
+        X, Y = jnp.meshgrid(
+            jnp.linspace(0.05, 0.95, 16), jnp.linspace(0.05, 0.95, 8)
+        )
+        ws = power_map_wall_sharded(
+            scene, X, Y, mesh=mesh2d, max_order=1, approx=approx
+        )
+        ref = tracer.power_map(
+            scene, X, Y, max_order=1, approx=approx, backend="xla"
+        )
+        chex.assert_trees_all_close(ws, ref, rtol=1e-4, atol=1e-5)
+
+    def test_rejects_mixed_objects(self, mesh2d):
+        from differt2d_tpu.geometry import RIS
+        from differt2d_tpu.parallel import power_map_wall_sharded
+
+        scene = Scene.square_scene().add_objects(
+            RIS(xys=jnp.array([[0.5, 0.3], [0.5, 0.7]]))
+        )
+        X, Y = jnp.meshgrid(jnp.linspace(0.1, 0.9, 4), jnp.linspace(0.1, 0.9, 4))
+        with pytest.raises(ValueError):
+            power_map_wall_sharded(scene, X, Y, mesh=mesh2d)
+
+    def test_bad_mesh_factoring(self):
+        from differt2d_tpu.parallel import wall_grid_mesh
+
+        with pytest.raises(ValueError):
+            wall_grid_mesh(n_wall=3)  # 8 devices don't factor
+
+
 def test_train_step_tx_placement(mesh):
     """One SPMD training step: replicated TX params, sharded pixels,
     XLA-inserted all-reduce for the parameter gradient."""

@@ -69,10 +69,35 @@ def main():
     fast_t = time_fn(kernel, pixels, tx, arrays.phi, scalars)
     points_per_s = pixels.shape[0] / fast_t
 
+    # --- fused value+grad kernel (in-kernel forward-mode tangents) --------
+    from differt2d_tpu.ops.pallas_kernels import get_fused_run
+
+    vag_run = get_fused_run(
+        arrays,
+        path_candidate_matrices(arrays.num_objects, 0, 1),
+        n_tx=1,
+        approx=True,
+        sigmoid=False,
+        interpret=False,
+        mode="value_and_grad",
+    )
+    txs = tx[None, :]
+    vag_t = time_fn(
+        vag_run, pixels, txs, arrays.walls, arrays.kind, arrays.phi, scalars
+    )
+    grad_points_per_s = pixels.shape[0] / vag_t
+
     # --- XLA tracer (the differentiable path) ------------------------------
     xla = jax.jit(make_pixels_fn(scene, max_order=1, approx=True))
     xla_t = time_fn(xla, pixels)
     xla_points_per_s = pixels.shape[0] / xla_t
+
+    # --- XLA tracer value+grad (what the Pallas vag kernel replaces) ------
+    xla_vag = jax.jit(
+        make_pixels_fn(scene, max_order=1, approx=True, value_and_grad=True)
+    )
+    xla_vag_t = time_fn(xla_vag, pixels)
+    xla_grad_points_per_s = pixels.shape[0] / xla_vag_t
 
     # --- baseline: reference-structured per-pixel path --------------------
     nb = int(os.environ.get("BENCH_BASELINE_SIZE", "256"))
@@ -112,11 +137,50 @@ def main():
         jnp.stack([Xg.ravel(), Yg.ravel()], axis=-1), tx, arrays.phi, scalars
     ).reshape(Xg.shape)
 
+    # Pallas in-kernel value+grad vs the reference-structured pair.
+    Zpg, dZpg = vag_run(
+        jnp.stack([Xg.ravel(), Yg.ravel()], axis=-1),
+        txs, arrays.walls, arrays.kind, arrays.phi, scalars,
+    )
+    Zpg = Zpg.reshape(Xg.shape)
+    dZpg = dZpg.reshape(*Xg.shape, 2)
+
     grad_ok = bool(
         np.allclose(Zf, Zs, rtol=1e-4, atol=1e-6)
         and np.allclose(dZf, dZs, rtol=1e-3, atol=1e-5)
         and np.allclose(Zp, Zs, rtol=1e-4, atol=1e-5)
+        and np.allclose(Zpg, Zs, rtol=1e-4, atol=1e-5)
+        and np.allclose(dZpg, dZs, rtol=1e-3, atol=1e-5)
     )
+
+    # --- roofline: FLOPs from XLA's own cost model of the identical
+    # computation (the XLA tracer's map), bytes from the kernel's actual
+    # HBM traffic (pixels in, map out -- all intermediates stay in VMEM).
+    roofline = {}
+    try:
+        ca = jax.jit(make_pixels_fn(scene, max_order=1, approx=True)).lower(
+            pixels
+        ).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        map_flops = float(ca.get("flops", 0.0))
+    except Exception:
+        map_flops = 0.0
+    if map_flops > 0:
+        flops_per_point = map_flops / pixels.shape[0]
+        eff_tflops = map_flops / fast_t / 1e12
+        # v5e VPU peak model: 8x128 lanes x 4 ALUs x 2 (FMA) x 940 MHz.
+        vpu_peak_tflops = 8 * 128 * 4 * 2 * 0.94e9 / 1e12
+        hbm_bytes = pixels.shape[0] * (2 + 1) * 4  # px,py in + map out, f32
+        roofline = {
+            "flops_model": round(flops_per_point, 1),
+            "effective_tflops": round(eff_tflops, 3),
+            "pct_vpu_peak": round(100.0 * eff_tflops / vpu_peak_tflops, 1),
+            "hbm_gb_per_s": round(hbm_bytes / fast_t / 1e9, 2),
+            "grad_effective_tflops": round(
+                3.0 * map_flops / vag_t / 1e12, 3
+            ),  # value + 2 tangent passes
+        }
 
     result = {
         "metric": "rx_grid_points_per_s_per_chip",
@@ -125,9 +189,13 @@ def main():
         "vs_baseline": round(points_per_s / base_points_per_s, 3),
         "grad_check_pass": grad_ok,
         "fast_s_per_map": round(fast_t, 4),
+        "grad_points_per_s": round(grad_points_per_s, 1),
+        "grad_s_per_map": round(vag_t, 4),
         "xla_points_per_s": round(xla_points_per_s, 1),
+        "xla_grad_points_per_s": round(xla_grad_points_per_s, 1),
         "baseline_points_per_s": round(base_points_per_s, 1),
         "device": str(jax.devices()[0]),
+        **roofline,
     }
 
     if os.environ.get("BENCH_FULL") == "1":

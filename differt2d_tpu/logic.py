@@ -84,8 +84,8 @@ def enable_approx(enable: bool = True):
     behavior. See the module docstring for the jit-cache caveat.
     """
     global ENABLE_APPROX
-    state = ENABLE_APPROX
     with _LOCK:
+        state = ENABLE_APPROX
         try:
             ENABLE_APPROX = enable
             yield

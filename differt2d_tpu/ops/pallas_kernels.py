@@ -94,15 +94,21 @@ def build_power_map_kernel(
     approx: bool,
     sigmoid: bool = False,
     interpret: bool = False,
+    mode: str = "value",
 ):
     """Build a fused kernel ``f(pixels[P, 2], tx[2], phi[W], scalars) -> [P]``.
 
     ``scalars = jnp.array([alpha, tol, patch, r_coef, height])`` are
     runtime-tunable; walls / kinds / candidates are baked into the kernel.
 
-    The returned function pads ``P`` to a tile multiple internally and is
-    differentiable w.r.t. nothing (forward evaluation only) -- gradients
-    go through the XLA tracer path.
+    ``mode="value_and_grad"`` additionally accumulates the two
+    forward-mode pixel tangents IN the kernel (the same two
+    ``jax.jvp`` passes the XLA tracer runs, reference
+    ``scene.py:1920-1930``, fused into one VMEM-resident pass) and
+    returns ``(value[P], grad[P, 2])``.
+
+    The returned function pads ``P`` to a tile multiple internally;
+    gradients w.r.t. scene parameters go through the XLA tracer path.
     """
     W = int(walls_np.shape[0])
     walls_c = [
@@ -110,8 +116,12 @@ def build_power_map_kernel(
     ]
     kinds_c = [int(k) for k in kinds_np]
     soft_mode = ("sigmoid" if sigmoid else "hard") if approx else False
+    with_grad = mode == "value_and_grad"
+    if mode not in ("value", "value_and_grad"):
+        msg = f"unknown kernel mode {mode!r}"
+        raise ValueError(msg)
 
-    def kernel(scal_ref, phi_ref, px_ref, py_ref, out_ref):
+    def kernel(scal_ref, phi_ref, px_ref, py_ref, *out_refs):
         txx = scal_ref[0]
         txy = scal_ref[1]
         alpha = scal_ref[2]
@@ -149,162 +159,178 @@ def build_power_map_kernel(
                 return jnp.maximum(acc, hit)
             return acc | hit
 
-        def segment_blocked(sax, say, sbx, sby, skip):
-            """Max/any over walls (minus ``skip``) of intersection with the
-            segment; wall endpoints grown by ``patch`` (reference
-            geometry.py:625-639)."""
-            acc = (
-                jnp.zeros_like(px)
-                if soft_mode
-                else jnp.zeros_like(px, dtype=jnp.bool_)
-            )
-            for w in range(W):
-                if w in skip or kinds_c[w] == KIND_VERTEX:
-                    continue
-                axw, ayw, bxw, byw = wall_scalars(w)
-                tx_, ty_ = bxw - axw, byw - ayw
-                wa_x = axw - patch * tx_
-                wa_y = ayw - patch * ty_
-                wb_x = bxw + patch * tx_
-                wb_y = byw + patch * ty_
-                hit = _seg_intersect(
-                    wa_x, wa_y, wb_x, wb_y, sax, say, sbx, sby,
-                    soft_mode, alpha,
-                )
-                acc = blocked_combine(acc, hit)
-            return acc
-
         def valid_and(*vals):
             out = vals[0]
             for v in vals[1:]:
                 out = jnp.minimum(out, v) if soft_mode else (out & v)
             return out
 
-        acc = jnp.zeros_like(px)
-
-        for order in sorted(groups):
-            cands = groups[order]
-            for c in range(cands.shape[0]):
-                cand = [int(v) for v in cands[c]]
-
-                # --- image-method solve (forward scalar mirrors, backward
-                # elementwise intersections; reference geometry.py:1086-1110)
-                images = []
-                ix, iy = txx, txy
-                for i in cand:
-                    if kinds_c[i] == KIND_VERTEX:
-                        # Zero-length segment: mirror is identity.
-                        images.append((ix, iy))
-                    else:
-                        ix, iy = mirror_scalar(ix, iy, i)
-                        images.append((ix, iy))
-
-                ptx, pty = px, py
-                bounce = [None] * order
-                for j in range(order - 1, -1, -1):
-                    i = cand[j]
-                    axw, ayw, _, _ = wall_scalars(i)
-                    if kinds_c[i] == KIND_VERTEX:
-                        ptx = jnp.full_like(px, axw)
-                        pty = jnp.full_like(py, ayw)
-                    else:
-                        nx, ny = wall_normal(i)
-                        imx, imy = images[j]
-                        ux, uy = ptx - imx, pty - imy
-                        un = ux * nx + uy * ny
-                        vn = (axw - ptx) * nx + (ayw - pty) * ny
-                        un_zero = un == 0.0
-                        safe_un = jnp.where(un_zero, 1.0, un)
-                        s = jnp.where(un_zero, 0.0, vn / safe_un)
-                        ptx = ptx + s * ux
-                        pty = pty + s * uy
-                    bounce[j] = (ptx, pty)
-
-                # Full path point list: [tx, bounces..., pixel].
-                path_x = [jnp.full_like(px, txx)] + [b[0] for b in bounce] + [px]
-                path_y = [jnp.full_like(py, txy)] + [b[1] for b in bounce] + [py]
-
-                # --- residual loss (reference geometry.py:643-650, 698-711)
-                loss = jnp.zeros_like(px)
-                for j, i in enumerate(cand):
-                    axc, ayc = path_x[j], path_y[j]
-                    bxc, byc = path_x[j + 1], path_y[j + 1]
-                    cxc, cyc = path_x[j + 2], path_y[j + 2]
-                    if kinds_c[i] == KIND_VERTEX:
+        def body(px, py):
+            def segment_blocked(sax, say, sbx, sby, skip):
+                """Max/any over walls (minus ``skip``) of intersection with
+                the segment; wall endpoints grown by ``patch`` (reference
+                geometry.py:625-639)."""
+                acc = (
+                    jnp.zeros_like(px)
+                    if soft_mode
+                    else jnp.zeros_like(px, dtype=jnp.bool_)
+                )
+                for w in range(W):
+                    if w in skip or kinds_c[w] == KIND_VERTEX:
                         continue
-                    nx, ny = wall_normal(i)
-                    rx_, ry_ = _normalize(cxc - bxc, cyc - byc)
-                    if kinds_c[i] == KIND_RIS:
-                        sin_a = (-rx_) * ny - (-ry_) * nx
-                        cos_a = (-rx_) * nx + (-ry_) * ny
-                        sin_p = jnp.sin(phi_ref[i])
-                        cos_p = jnp.cos(phi_ref[i])
-                        loss = loss + (sin_a - sin_p) ** 2 + (cos_a - cos_p) ** 2
-                    else:
-                        ivx, ivy = _normalize(bxc - axc, byc - ayc)
-                        d = ivx * nx + ivy * ny
-                        refx, refy = ivx - 2.0 * d * nx, ivy - 2.0 * d * ny
-                        ex, ey = rx_ - refx, ry_ - refy
-                        loss = loss + ex * ex + ey * ey
-
-                # --- on_objects (reference geometry.py:821-854)
-                if soft_mode:
-                    on = jnp.ones_like(px)
-                else:
-                    on = jnp.ones_like(px, dtype=jnp.bool_)
-                for j, i in enumerate(cand):
-                    if kinds_c[i] == KIND_VERTEX:
-                        continue
-                    axw, ayw, bxw, byw = wall_scalars(i)
-                    dxw, dyw = bxw - axw, byw - ayw
-                    sq = dxw * dxw + dyw * dyw
-                    sq = sq if sq != 0.0 else 1.0
-                    bxc, byc = path_x[j + 1], path_y[j + 1]
-                    t = ((bxc - axw) * dxw + (byc - ayw) * dyw) / sq
-                    if soft_mode:
-                        contains = jnp.minimum(
-                            _soft(t, alpha, sigmoid),
-                            _soft(1.0 - t, alpha, sigmoid),
-                        )
-                    else:
-                        contains = (t >= 0.0) & (t <= 1.0)
-                    on = valid_and(on, contains)
-
-                # --- blocked (reference geometry.py:856-906)
-                if soft_mode:
-                    blk = jnp.zeros_like(px)
-                else:
-                    blk = jnp.zeros_like(px, dtype=jnp.bool_)
-                idx = [-1, *cand, -1]
-                for s in range(order + 1):
-                    skip = {idx[s], idx[s + 1]} - {-1}
-                    blk = blocked_combine(
-                        blk,
-                        segment_blocked(
-                            path_x[s], path_y[s],
-                            path_x[s + 1], path_y[s + 1],
-                            skip,
-                        ),
+                    axw, ayw, bxw, byw = wall_scalars(w)
+                    tx_, ty_ = bxw - axw, byw - ayw
+                    wa_x = axw - patch * tx_
+                    wa_y = ayw - patch * ty_
+                    wb_x = bxw + patch * tx_
+                    wb_y = byw + patch * ty_
+                    hit = _seg_intersect(
+                        wa_x, wa_y, wb_x, wb_y, sax, say, sbx, sby,
+                        soft_mode, alpha,
                     )
+                    acc = blocked_combine(acc, hit)
+                return acc
 
-                # --- validity x power (reference geometry.py:908-963 +
-                # utils.py:18-54)
-                if soft_mode:
-                    loss_ok = _soft(tol - loss, alpha, sigmoid)
-                    valid = jnp.minimum(jnp.minimum(on, 1.0 - blk), loss_ok)
-                    valid = jnp.nan_to_num(valid)
-                else:
-                    valid = on & (~blk) & (loss < tol)
+            acc = jnp.zeros_like(px)
+            for order in sorted(groups):
+                cands = groups[order]
+                for c in range(cands.shape[0]):
+                    cand = [int(v) for v in cands[c]]
 
-                r = jnp.zeros_like(px)
-                for s in range(order + 1):
-                    dx_ = path_x[s + 1] - path_x[s] + eps
-                    dy_ = path_y[s + 1] - path_y[s] + eps
-                    r = r + _norm2(dx_, dy_)
-                power = (r_coef**order) / (height * height + r * r)
-                acc = acc + valid * power
+                    # --- image-method solve (forward scalar mirrors, backward
+                    # elementwise intersections; reference geometry.py:1086-1110)
+                    images = []
+                    ix, iy = txx, txy
+                    for i in cand:
+                        if kinds_c[i] == KIND_VERTEX:
+                            # Zero-length segment: mirror is identity.
+                            images.append((ix, iy))
+                        else:
+                            ix, iy = mirror_scalar(ix, iy, i)
+                            images.append((ix, iy))
 
-        out_ref[:] = acc
+                    ptx, pty = px, py
+                    bounce = [None] * order
+                    for j in range(order - 1, -1, -1):
+                        i = cand[j]
+                        axw, ayw, _, _ = wall_scalars(i)
+                        if kinds_c[i] == KIND_VERTEX:
+                            ptx = jnp.full_like(px, axw)
+                            pty = jnp.full_like(py, ayw)
+                        else:
+                            nx, ny = wall_normal(i)
+                            imx, imy = images[j]
+                            ux, uy = ptx - imx, pty - imy
+                            un = ux * nx + uy * ny
+                            vn = (axw - ptx) * nx + (ayw - pty) * ny
+                            un_zero = un == 0.0
+                            safe_un = jnp.where(un_zero, 1.0, un)
+                            s = jnp.where(un_zero, 0.0, vn / safe_un)
+                            ptx = ptx + s * ux
+                            pty = pty + s * uy
+                        bounce[j] = (ptx, pty)
+
+                    # Full path point list: [tx, bounces..., pixel].
+                    path_x = [jnp.full_like(px, txx)] + [b[0] for b in bounce] + [px]
+                    path_y = [jnp.full_like(py, txy)] + [b[1] for b in bounce] + [py]
+
+                    # --- residual loss (reference geometry.py:643-650, 698-711)
+                    loss = jnp.zeros_like(px)
+                    for j, i in enumerate(cand):
+                        axc, ayc = path_x[j], path_y[j]
+                        bxc, byc = path_x[j + 1], path_y[j + 1]
+                        cxc, cyc = path_x[j + 2], path_y[j + 2]
+                        if kinds_c[i] == KIND_VERTEX:
+                            continue
+                        nx, ny = wall_normal(i)
+                        rx_, ry_ = _normalize(cxc - bxc, cyc - byc)
+                        if kinds_c[i] == KIND_RIS:
+                            sin_a = (-rx_) * ny - (-ry_) * nx
+                            cos_a = (-rx_) * nx + (-ry_) * ny
+                            sin_p = jnp.sin(phi_ref[i])
+                            cos_p = jnp.cos(phi_ref[i])
+                            loss = loss + (sin_a - sin_p) ** 2 + (cos_a - cos_p) ** 2
+                        else:
+                            ivx, ivy = _normalize(bxc - axc, byc - ayc)
+                            d = ivx * nx + ivy * ny
+                            refx, refy = ivx - 2.0 * d * nx, ivy - 2.0 * d * ny
+                            ex, ey = rx_ - refx, ry_ - refy
+                            loss = loss + ex * ex + ey * ey
+
+                    # --- on_objects (reference geometry.py:821-854)
+                    if soft_mode:
+                        on = jnp.ones_like(px)
+                    else:
+                        on = jnp.ones_like(px, dtype=jnp.bool_)
+                    for j, i in enumerate(cand):
+                        if kinds_c[i] == KIND_VERTEX:
+                            continue
+                        axw, ayw, bxw, byw = wall_scalars(i)
+                        dxw, dyw = bxw - axw, byw - ayw
+                        sq = dxw * dxw + dyw * dyw
+                        sq = sq if sq != 0.0 else 1.0
+                        bxc, byc = path_x[j + 1], path_y[j + 1]
+                        t = ((bxc - axw) * dxw + (byc - ayw) * dyw) / sq
+                        if soft_mode:
+                            contains = jnp.minimum(
+                                _soft(t, alpha, sigmoid),
+                                _soft(1.0 - t, alpha, sigmoid),
+                            )
+                        else:
+                            contains = (t >= 0.0) & (t <= 1.0)
+                        on = valid_and(on, contains)
+
+                    # --- blocked (reference geometry.py:856-906)
+                    if soft_mode:
+                        blk = jnp.zeros_like(px)
+                    else:
+                        blk = jnp.zeros_like(px, dtype=jnp.bool_)
+                    idx = [-1, *cand, -1]
+                    for s in range(order + 1):
+                        skip = {idx[s], idx[s + 1]} - {-1}
+                        blk = blocked_combine(
+                            blk,
+                            segment_blocked(
+                                path_x[s], path_y[s],
+                                path_x[s + 1], path_y[s + 1],
+                                skip,
+                            ),
+                        )
+
+                    # --- validity x power (reference geometry.py:908-963 +
+                    # utils.py:18-54)
+                    if soft_mode:
+                        loss_ok = _soft(tol - loss, alpha, sigmoid)
+                        valid = jnp.minimum(jnp.minimum(on, 1.0 - blk), loss_ok)
+                        valid = jnp.nan_to_num(valid)
+                    else:
+                        valid = on & (~blk) & (loss < tol)
+
+                    r = jnp.zeros_like(px)
+                    for s in range(order + 1):
+                        dx_ = path_x[s + 1] - path_x[s] + eps
+                        dy_ = path_y[s + 1] - path_y[s] + eps
+                        r = r + _norm2(dx_, dy_)
+                    power = (r_coef**order) / (height * height + r * r)
+                    acc = acc + valid * power
+
+            return acc
+
+        ones = jnp.ones_like(px)
+        zeros = jnp.zeros_like(px)
+        if with_grad:
+            val_ref, dx_ref, dy_ref = out_refs
+            # Two forward-mode tangents, exactly as the XLA tracer's
+            # pixel-gradient path (tracer.make_pixels_fn): same primitive
+            # JVP rules, fused into the same VMEM-resident pass.
+            val, dx = jax.jvp(body, (px, py), (ones, zeros))
+            _, dy = jax.jvp(body, (px, py), (zeros, ones))
+            val_ref[:] = val
+            dx_ref[:] = dx
+            dy_ref[:] = dy
+        else:
+            (out_ref,) = out_refs
+            out_ref[:] = body(px, py)
 
     def run(pixels: jax.Array, tx: jax.Array, phi: jax.Array, scalars: jax.Array):
         P = pixels.shape[0]
@@ -337,15 +363,32 @@ def build_power_map_kernel(
                     memory_space=pltpu.VMEM,
                 ),
             ],
-            out_specs=pl.BlockSpec(
-                (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-            out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            out_specs=_out_specs(with_grad),
+            out_shape=_out_shape(rows, with_grad),
             interpret=interpret,
         )(packed, phi, px, py)
-        return out.reshape(padded)[:P]
+        return _slice_outputs(out, padded, P, with_grad)
 
     return run
+
+
+def _out_specs(with_grad: bool, block_rows: int = SUBLANES):
+    tile = pl.BlockSpec(
+        (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    return (tile, tile, tile) if with_grad else tile
+
+
+def _out_shape(rows: int, with_grad: bool):
+    s = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    return (s, s, s) if with_grad else s
+
+
+def _slice_outputs(out, padded: int, P: int, with_grad: bool):
+    if not with_grad:
+        return out.reshape(padded)[:P]
+    val, dx, dy = (o.reshape(padded)[:P] for o in out)
+    return val, jnp.stack([dx, dy], axis=-1)
 
 
 def build_power_map_kernel_looped(
@@ -355,6 +398,8 @@ def build_power_map_kernel_looped(
     approx: bool,
     sigmoid: bool = False,
     interpret: bool = False,
+    mode: str = "value",
+    block_rows: int = 32,
 ):
     """Looped variant of :func:`build_power_map_kernel` for large
     candidate sets.
@@ -373,6 +418,10 @@ def build_power_map_kernel_looped(
     """
     W = num_walls
     soft_mode = ("sigmoid" if sigmoid else "hard") if approx else False
+    with_grad = mode == "value_and_grad"
+    if mode not in ("value", "value_and_grad"):
+        msg = f"unknown kernel mode {mode!r}"
+        raise ValueError(msg)
     group_orders = sorted(groups)
     group_counts = [int(groups[o].shape[0]) for o in group_orders]
     # Candidate index arrays exist only for orders >= 1 (order 0 has one
@@ -381,7 +430,8 @@ def build_power_map_kernel_looped(
 
     def kernel(scal_ref, walls_ref, kind_ref, phi_ref, *rest):
         cand_ref_by_order = dict(zip(cand_orders, rest[: len(cand_orders)]))
-        px_ref, py_ref, out_ref = rest[len(cand_orders) :]
+        px_ref, py_ref = rest[len(cand_orders) : len(cand_orders) + 2]
+        out_refs = rest[len(cand_orders) + 2 :]
 
         txx = scal_ref[0]
         txy = scal_ref[1]
@@ -412,106 +462,156 @@ def build_power_map_kernel_looped(
             safe = jnp.where(n == 0.0, 1.0, n)
             return nx / safe, ny / safe
 
-        def group_sum(order, cand_ref, count, acc0):
-            """Accumulate all candidates of one order via fori_loop."""
+        def pixel_body(px, py):
+            def group_sum(order, cand_ref, count, acc0):
+                """Accumulate all candidates of one order via fori_loop."""
 
-            def body(c, acc):
-                idx = [cand_ref[c * order + j] for j in range(order)]
-                wall_vals = [read_wall(i) for i in idx]
-                kinds = [kind_ref[i] for i in idx]
-                normals = [wall_normal_rt(*wv) for wv in wall_vals]
+                def body(c, acc):
+                    idx = [cand_ref[c * order + j] for j in range(order)]
+                    wall_vals = [read_wall(i) for i in idx]
+                    kinds = [kind_ref[i] for i in idx]
+                    normals = [wall_normal_rt(*wv) for wv in wall_vals]
 
-                # Forward scalar mirror sweep (vertex segments are
-                # degenerate: zero normal => identity mirror).
-                images = []
-                ix, iy = txx, txy
-                for j in range(order):
-                    axw, ayw, _, _ = wall_vals[j]
-                    nx, ny = normals[j]
-                    d = (ix - axw) * nx + (iy - ayw) * ny
-                    ix, iy = ix - 2.0 * d * nx, iy - 2.0 * d * ny
-                    images.append((ix, iy))
+                    # Forward scalar mirror sweep (vertex segments are
+                    # degenerate: zero normal => identity mirror).
+                    images = []
+                    ix, iy = txx, txy
+                    for j in range(order):
+                        axw, ayw, _, _ = wall_vals[j]
+                        nx, ny = normals[j]
+                        d = (ix - axw) * nx + (iy - ayw) * ny
+                        ix, iy = ix - 2.0 * d * nx, iy - 2.0 * d * ny
+                        images.append((ix, iy))
 
-                # Backward elementwise intersections, vertex pinning.
-                ptx, pty = px, py
-                bounce = [None] * order
-                for j in range(order - 1, -1, -1):
-                    axw, ayw, _, _ = wall_vals[j]
-                    nx, ny = normals[j]
-                    imx, imy = images[j]
-                    ux, uy = ptx - imx, pty - imy
-                    un = ux * nx + uy * ny
-                    vn = (axw - ptx) * nx + (ayw - pty) * ny
-                    un_zero = un == 0.0
-                    safe_un = jnp.where(un_zero, 1.0, un)
-                    s = jnp.where(un_zero, 0.0, vn / safe_un)
-                    ptx = ptx + s * ux
-                    pty = pty + s * uy
-                    is_vertex = kinds[j] == KIND_VERTEX
-                    ptx = jnp.where(is_vertex, axw, ptx)
-                    pty = jnp.where(is_vertex, ayw, pty)
-                    bounce[j] = (ptx, pty)
+                    # Backward elementwise intersections, vertex pinning.
+                    ptx, pty = px, py
+                    bounce = [None] * order
+                    for j in range(order - 1, -1, -1):
+                        axw, ayw, _, _ = wall_vals[j]
+                        nx, ny = normals[j]
+                        imx, imy = images[j]
+                        ux, uy = ptx - imx, pty - imy
+                        un = ux * nx + uy * ny
+                        vn = (axw - ptx) * nx + (ayw - pty) * ny
+                        un_zero = un == 0.0
+                        safe_un = jnp.where(un_zero, 1.0, un)
+                        s = jnp.where(un_zero, 0.0, vn / safe_un)
+                        ptx = ptx + s * ux
+                        pty = pty + s * uy
+                        is_vertex = kinds[j] == KIND_VERTEX
+                        ptx = jnp.where(is_vertex, axw, ptx)
+                        pty = jnp.where(is_vertex, ayw, pty)
+                        bounce[j] = (ptx, pty)
 
-                path_x = [jnp.full_like(px, txx)] + [b[0] for b in bounce] + [px]
-                path_y = [jnp.full_like(py, txy)] + [b[1] for b in bounce] + [py]
+                    path_x = [jnp.full_like(px, txx)] + [b[0] for b in bounce] + [px]
+                    path_y = [jnp.full_like(py, txy)] + [b[1] for b in bounce] + [py]
 
-                # Residuals (kind-selected at runtime).
-                loss = jnp.zeros_like(px)
-                for j in range(order):
-                    nx, ny = normals[j]
-                    axc, ayc = path_x[j], path_y[j]
-                    bxc, byc = path_x[j + 1], path_y[j + 1]
-                    cxc, cyc = path_x[j + 2], path_y[j + 2]
-                    rx_, ry_ = _normalize(cxc - bxc, cyc - byc)
-                    ivx, ivy = _normalize(bxc - axc, byc - ayc)
-                    d = ivx * nx + ivy * ny
-                    refx, refy = ivx - 2.0 * d * nx, ivy - 2.0 * d * ny
-                    ex, ey = rx_ - refx, ry_ - refy
-                    spec = ex * ex + ey * ey
-                    sin_a = (-rx_) * ny - (-ry_) * nx
-                    cos_a = (-rx_) * nx + (-ry_) * ny
-                    sin_p = jnp.sin(phi_ref[idx[j]])
-                    cos_p = jnp.cos(phi_ref[idx[j]])
-                    ris = (sin_a - sin_p) ** 2 + (cos_a - cos_p) ** 2
-                    res = jnp.where(kinds[j] == KIND_RIS, ris, spec)
-                    res = jnp.where(kinds[j] == KIND_VERTEX, 0.0, res)
-                    loss = loss + res
+                    # Residuals (kind-selected at runtime).
+                    loss = jnp.zeros_like(px)
+                    for j in range(order):
+                        nx, ny = normals[j]
+                        axc, ayc = path_x[j], path_y[j]
+                        bxc, byc = path_x[j + 1], path_y[j + 1]
+                        cxc, cyc = path_x[j + 2], path_y[j + 2]
+                        rx_, ry_ = _normalize(cxc - bxc, cyc - byc)
+                        ivx, ivy = _normalize(bxc - axc, byc - ayc)
+                        d = ivx * nx + ivy * ny
+                        refx, refy = ivx - 2.0 * d * nx, ivy - 2.0 * d * ny
+                        ex, ey = rx_ - refx, ry_ - refy
+                        spec = ex * ex + ey * ey
+                        sin_a = (-rx_) * ny - (-ry_) * nx
+                        cos_a = (-rx_) * nx + (-ry_) * ny
+                        sin_p = jnp.sin(phi_ref[idx[j]])
+                        cos_p = jnp.cos(phi_ref[idx[j]])
+                        ris = (sin_a - sin_p) ** 2 + (cos_a - cos_p) ** 2
+                        res = jnp.where(kinds[j] == KIND_RIS, ris, spec)
+                        res = jnp.where(kinds[j] == KIND_VERTEX, 0.0, res)
+                        loss = loss + res
 
-                # on_objects.
-                if soft_mode:
-                    on = jnp.ones_like(px)
-                else:
-                    on = jnp.ones_like(px, dtype=jnp.bool_)
-                for j in range(order):
-                    axw, ayw, bxw, byw = wall_vals[j]
-                    dxw, dyw = bxw - axw, byw - ayw
-                    sq = dxw * dxw + dyw * dyw
-                    sq = jnp.where(sq == 0.0, 1.0, sq)
-                    bxc, byc = path_x[j + 1], path_y[j + 1]
-                    t = ((bxc - axw) * dxw + (byc - ayw) * dyw) / sq
+                    # on_objects.
                     if soft_mode:
-                        contains = jnp.minimum(
-                            _soft(t, alpha, sigmoid),
-                            _soft(1.0 - t, alpha, sigmoid),
-                        )
-                        contains = jnp.where(
-                            kinds[j] == KIND_VERTEX, 1.0, contains
-                        )
-                        on = jnp.minimum(on, contains)
+                        on = jnp.ones_like(px)
                     else:
-                        contains = (t >= 0.0) & (t <= 1.0)
-                        contains = contains | (kinds[j] == KIND_VERTEX)
-                        on = on & contains
+                        on = jnp.ones_like(px, dtype=jnp.bool_)
+                    for j in range(order):
+                        axw, ayw, bxw, byw = wall_vals[j]
+                        dxw, dyw = bxw - axw, byw - ayw
+                        sq = dxw * dxw + dyw * dyw
+                        sq = jnp.where(sq == 0.0, 1.0, sq)
+                        bxc, byc = path_x[j + 1], path_y[j + 1]
+                        t = ((bxc - axw) * dxw + (byc - ayw) * dyw) / sq
+                        if soft_mode:
+                            contains = jnp.minimum(
+                                _soft(t, alpha, sigmoid),
+                                _soft(1.0 - t, alpha, sigmoid),
+                            )
+                            contains = jnp.where(
+                                kinds[j] == KIND_VERTEX, 1.0, contains
+                            )
+                            on = jnp.minimum(on, contains)
+                        else:
+                            contains = (t >= 0.0) & (t <= 1.0)
+                            contains = contains | (kinds[j] == KIND_VERTEX)
+                            on = on & contains
 
-                # Blocked: every segment vs every wall, adjacency masked
-                # at runtime (vertex walls are degenerate => never hit).
-                if soft_mode:
-                    blk = jnp.zeros_like(px)
-                else:
-                    blk = jnp.zeros_like(px, dtype=jnp.bool_)
-                minus_one = jnp.int32(-1)
-                seg_idx = [minus_one] + [i for i in idx] + [minus_one]
-                for s in range(order + 1):
+                    # Blocked: every segment vs every wall, adjacency masked
+                    # at runtime (vertex walls are degenerate => never hit).
+                    if soft_mode:
+                        blk = jnp.zeros_like(px)
+                    else:
+                        blk = jnp.zeros_like(px, dtype=jnp.bool_)
+                    minus_one = jnp.int32(-1)
+                    seg_idx = [minus_one] + [i for i in idx] + [minus_one]
+                    for s in range(order + 1):
+                        for w in range(W):
+                            axw, ayw, bxw, byw = read_wall(w)
+                            tx_, ty_ = bxw - axw, byw - ayw
+                            hit = _seg_intersect(
+                                axw - patch * tx_,
+                                ayw - patch * ty_,
+                                bxw + patch * tx_,
+                                byw + patch * ty_,
+                                path_x[s], path_y[s],
+                                path_x[s + 1], path_y[s + 1],
+                                soft_mode,
+                                alpha,
+                            )
+                            ignore = (seg_idx[s] == w) | (seg_idx[s + 1] == w)
+                            if soft_mode:
+                                hit = jnp.where(ignore, 0.0, hit)
+                                blk = jnp.maximum(blk, hit)
+                            else:
+                                hit = jnp.where(ignore, False, hit)
+                                blk = blk | hit
+
+                    if soft_mode:
+                        loss_ok = _soft(tol - loss, alpha, sigmoid)
+                        valid = jnp.minimum(jnp.minimum(on, 1.0 - blk), loss_ok)
+                        valid = jnp.nan_to_num(valid)
+                    else:
+                        valid = on & (~blk) & (loss < tol)
+
+                    r = jnp.zeros_like(px)
+                    for s in range(order + 1):
+                        dx_ = path_x[s + 1] - path_x[s] + eps
+                        dy_ = path_y[s + 1] - path_y[s] + eps
+                        r = r + _norm2(dx_, dy_)
+                    power = (r_coef**order) / (height * height + r * r)
+                    return acc + valid * power
+
+                return jax.lax.fori_loop(0, count, body, acc0)
+
+            acc = jnp.zeros_like(px)
+            for g, order in enumerate(group_orders):
+                count = group_counts[g]
+                if count == 0:
+                    continue
+                if order == 0:
+                    # LOS: no bounce, direct blocked test.
+                    if soft_mode:
+                        blk = jnp.zeros_like(px)
+                    else:
+                        blk = jnp.zeros_like(px, dtype=jnp.bool_)
                     for w in range(W):
                         axw, ayw, bxw, byw = read_wall(w)
                         tx_, ty_ = bxw - axw, byw - ayw
@@ -520,74 +620,45 @@ def build_power_map_kernel_looped(
                             ayw - patch * ty_,
                             bxw + patch * tx_,
                             byw + patch * ty_,
-                            path_x[s], path_y[s],
-                            path_x[s + 1], path_y[s + 1],
+                            jnp.full_like(px, txx), jnp.full_like(py, txy),
+                            px, py,
                             soft_mode,
                             alpha,
                         )
-                        ignore = (seg_idx[s] == w) | (seg_idx[s + 1] == w)
-                        if soft_mode:
-                            hit = jnp.where(ignore, 0.0, hit)
-                            blk = jnp.maximum(blk, hit)
-                        else:
-                            hit = jnp.where(ignore, False, hit)
-                            blk = blk | hit
-
-                if soft_mode:
-                    loss_ok = _soft(tol - loss, alpha, sigmoid)
-                    valid = jnp.minimum(jnp.minimum(on, 1.0 - blk), loss_ok)
-                    valid = jnp.nan_to_num(valid)
+                        blk = jnp.maximum(blk, hit) if soft_mode else (blk | hit)
+                    if soft_mode:
+                        loss_ok = _soft(tol, alpha, sigmoid)
+                        valid = jnp.minimum(1.0 - blk, loss_ok)
+                        valid = jnp.nan_to_num(valid)
+                    else:
+                        valid = ~blk
+                    dx_ = px - txx + eps
+                    dy_ = py - txy + eps
+                    r = _norm2(dx_, dy_)
+                    acc = acc + valid * (1.0 / (height * height + r * r))
                 else:
-                    valid = on & (~blk) & (loss < tol)
+                    acc = group_sum(order, cand_ref_by_order[order], count, acc)
+            return acc
 
-                r = jnp.zeros_like(px)
-                for s in range(order + 1):
-                    dx_ = path_x[s + 1] - path_x[s] + eps
-                    dy_ = path_y[s + 1] - path_y[s] + eps
-                    r = r + _norm2(dx_, dy_)
-                power = (r_coef**order) / (height * height + r * r)
-                return acc + valid * power
-
-            return jax.lax.fori_loop(0, count, body, acc0)
-
-        acc = jnp.zeros_like(px)
-        for g, order in enumerate(group_orders):
-            count = group_counts[g]
-            if count == 0:
-                continue
-            if order == 0:
-                # LOS: no bounce, direct blocked test.
-                if soft_mode:
-                    blk = jnp.zeros_like(px)
-                else:
-                    blk = jnp.zeros_like(px, dtype=jnp.bool_)
-                for w in range(W):
-                    axw, ayw, bxw, byw = read_wall(w)
-                    tx_, ty_ = bxw - axw, byw - ayw
-                    hit = _seg_intersect(
-                        axw - patch * tx_,
-                        ayw - patch * ty_,
-                        bxw + patch * tx_,
-                        byw + patch * ty_,
-                        jnp.full_like(px, txx), jnp.full_like(py, txy),
-                        px, py,
-                        soft_mode,
-                        alpha,
-                    )
-                    blk = jnp.maximum(blk, hit) if soft_mode else (blk | hit)
-                if soft_mode:
-                    loss_ok = _soft(tol, alpha, sigmoid)
-                    valid = jnp.minimum(1.0 - blk, loss_ok)
-                    valid = jnp.nan_to_num(valid)
-                else:
-                    valid = ~blk
-                dx_ = px - txx + eps
-                dy_ = py - txy + eps
-                r = _norm2(dx_, dy_)
-                acc = acc + valid * (1.0 / (height * height + r * r))
-            else:
-                acc = group_sum(order, cand_ref_by_order[order], count, acc)
-        out_ref[:] = acc
+        if with_grad:
+            val_ref, dx_ref, dy_ref = out_refs
+            # Forward-mode pixel tangents computed inside the kernel --
+            # jax.jvp traces dual arithmetic through the fori_loops, so
+            # the gradient map shares the candidate loop, SMEM reads and
+            # VMEM tiles with the value pass. (Reverse mode would get
+            # both partials in one transpose sweep, but Mosaic cannot
+            # lower the transposed residual-reading scan -- fails with
+            # a foreach arity error in jaxpr_subcomp; measured 2026-08.)
+            ones = jnp.ones_like(px)
+            zeros = jnp.zeros_like(px)
+            val, dx = jax.jvp(pixel_body, (px, py), (ones, zeros))
+            _, dy = jax.jvp(pixel_body, (px, py), (zeros, ones))
+            val_ref[:] = val
+            dx_ref[:] = dx
+            dy_ref[:] = dy
+        else:
+            (out_ref,) = out_refs
+            out_ref[:] = pixel_body(px, py)
 
     def run(
         pixels: jax.Array,
@@ -598,7 +669,11 @@ def build_power_map_kernel_looped(
         scalars: jax.Array,
     ):
         P = pixels.shape[0]
-        padded = -((-P) // TILE) * TILE
+        # Large blocks (block_rows x 128 pixels per grid step) amortize
+        # the per-step scalar preamble (candidate/wall SMEM reads) over
+        # more vector work than the minimal 8x128 tile.
+        block = block_rows * LANES
+        padded = -((-P) // block) * block
         px = pixels[:, 0]
         py = pixels[:, 1]
         if padded != P:
@@ -617,16 +692,16 @@ def build_power_map_kernel_looped(
 
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         tile_spec = pl.BlockSpec(
-            (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
         out = pl.pallas_call(
             kernel,
-            grid=(rows // SUBLANES,),
+            grid=(rows // block_rows,),
             in_specs=[smem, smem, smem, smem]
             + [smem] * len(cand_arrays)
             + [tile_spec, tile_spec],
-            out_specs=tile_spec,
-            out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            out_specs=_out_specs(with_grad, block_rows),
+            out_shape=_out_shape(rows, with_grad),
             interpret=interpret,
         )(
             packed,
@@ -637,7 +712,7 @@ def build_power_map_kernel_looped(
             px,
             py,
         )
-        return out.reshape(padded)[:P]
+        return _slice_outputs(out, padded, P, with_grad)
 
     return run
 
@@ -755,6 +830,8 @@ def pallas_power_map(
     steps: int = 100,
     key: Optional[jax.Array] = None,
     interpret: bool = False,
+    grad: bool = False,
+    value_and_grad: bool = False,
 ) -> jax.Array:
     """Power map through the fused Pallas kernels.
 
@@ -763,6 +840,10 @@ def pallas_power_map(
     ``"mpt"`` use the in-kernel adam solver
     (:mod:`differt2d_tpu.ops.pallas_solver`, order-1 candidates only,
     ``key`` required for the init draw).
+
+    ``grad`` / ``value_and_grad`` (image solver only) return the pixel
+    gradient ``[m, n, 2]`` (or the ``(value, grad)`` pair) computed by
+    fused in-kernel forward-mode tangents.
     """
     from ..logic import ENABLE_APPROX
     from ..rt import path_candidate_matrices
@@ -794,6 +875,14 @@ def pallas_power_map(
     scalars = jnp.array([alpha, tol, patch, r_coef, height], dtype=jnp.float32)
     txs = jnp.stack([tx.xy for tx in scene.transmitters.values()])
 
+    want_grad = grad or value_and_grad
+    if want_grad and solver != "image":
+        msg = (
+            "in-kernel gradient maps support the image solver only;"
+            " use backend='xla' for Fermat/MPT gradients"
+        )
+        raise ValueError(msg)
+
     if solver in ("fermat", "mpt"):
         return _opt_solver_map(
             scene, arrays, groups, pixels, txs, scalars,
@@ -811,8 +900,14 @@ def pallas_power_map(
         approx=approx,
         sigmoid=sigmoid,
         interpret=interpret,
+        mode="value_and_grad" if want_grad else "value",
     )
     out = run(pixels, txs, arrays.walls, arrays.kind, arrays.phi, scalars)
+    if want_grad:
+        val, dval = out
+        if value_and_grad:
+            return val.reshape(X.shape), dval.reshape(*X.shape, 2)
+        return dval.reshape(*X.shape, 2)
     return out.reshape(X.shape)
 
 
@@ -909,7 +1004,9 @@ def _opt_solver_map(
     return los + run(pixels, txs, arrays.phi, x0, scalars)
 
 
-def get_fused_run(arrays, groups, *, n_tx, approx, sigmoid, interpret):
+def get_fused_run(
+    arrays, groups, *, n_tx, approx, sigmoid, interpret, mode="value"
+):
     """Cached differentiable kernel entry.
 
     Picks the fully-unrolled kernel (walls baked as immediates) below the
@@ -923,12 +1020,18 @@ def get_fused_run(arrays, groups, *, n_tx, approx, sigmoid, interpret):
     """
     walls_np = np.asarray(arrays.walls)
     kinds_np = np.asarray(arrays.kind)
+    with_grad = mode == "value_and_grad"
     total_candidates = sum(int(g.shape[0]) for g in groups.values())
     # Small candidate sets: fully-unrolled kernel with walls baked in as
     # immediates (fastest). Large sets: fori_loop kernel with SMEM-resident
     # candidates -- the unrolled instruction stream outgrows the scheduler
     # past ~16 candidates (measured crossover; 3-4x XLA either way).
-    use_looped = total_candidates > 16
+    # value_and_grad always uses the looped kernel: the jvp-tripled
+    # unrolled program sends both XLA:CPU (interpret) and Mosaic (TPU)
+    # into pathological compile times (>9 min at 8 candidates, measured
+    # on both), while the fori_loop body stays small and compiles in
+    # seconds.
+    use_looped = total_candidates > 16 or with_grad
     group_key = tuple(
         (o, g.tobytes(), g.shape) for o, g in sorted(groups.items())
     )
@@ -951,7 +1054,7 @@ def get_fused_run(arrays, groups, *, n_tx, approx, sigmoid, interpret):
             sigmoid,
             interpret,
         )
-    cache_key = (*cache_key, n_tx)
+    cache_key = (*cache_key, n_tx, mode)
     run = _KERNEL_CACHE.get(cache_key)
     if run is not None:
         _KERNEL_CACHE.move_to_end(cache_key)
@@ -964,13 +1067,14 @@ def get_fused_run(arrays, groups, *, n_tx, approx, sigmoid, interpret):
             approx=approx,
             sigmoid=sigmoid,
             interpret=interpret,
+            mode=mode,
         )
 
         def run(pixels, txs, walls, kind, phi, scalars):
             out = None
             for t in range(n_tx):
                 z = looped(pixels, txs[t], walls, kind, phi, scalars)
-                out = z if out is None else out + z
+                out = z if out is None else jax.tree.map(jnp.add, out, z)
             return out
 
     else:
@@ -981,13 +1085,14 @@ def get_fused_run(arrays, groups, *, n_tx, approx, sigmoid, interpret):
             approx=approx,
             sigmoid=sigmoid,
             interpret=interpret,
+            mode=mode,
         )
 
         def run(pixels, txs, walls, kind, phi, scalars):
             out = None
             for t in range(n_tx):
                 z = kernel(pixels, txs[t], phi, scalars)
-                out = z if out is None else out + z
+                out = z if out is None else jax.tree.map(jnp.add, out, z)
             return out
 
     # One jitted entry per (kernel, n_tx): the whole per-TX loop is a
@@ -997,14 +1102,20 @@ def get_fused_run(arrays, groups, *, n_tx, approx, sigmoid, interpret):
     # walls / phi / scalars come from the XLA tracer's VJP (identical
     # numerics), so jax.grad over scene parameters works through the
     # default backend.
-    run = _differentiable_run(
-        jax.jit(run),
-        kinds_np,
-        groups,
-        n_tx=n_tx,
-        approx=approx,
-        sigmoid=sigmoid,
-    )
+    if with_grad:
+        # The grad-map outputs are terminal (no further autodiff through
+        # them on the Pallas path; traced scenes fall back to XLA
+        # upstream), so no custom_vjp wrapper -- just one jitted dispatch.
+        run = jax.jit(run)
+    else:
+        run = _differentiable_run(
+            jax.jit(run),
+            kinds_np,
+            groups,
+            n_tx=n_tx,
+            approx=approx,
+            sigmoid=sigmoid,
+        )
     _KERNEL_CACHE[cache_key] = run
     while len(_KERNEL_CACHE) > _KERNEL_CACHE_MAX:
         _KERNEL_CACHE.popitem(last=False)

@@ -82,7 +82,7 @@ def build_opt_order1_kernel(
             raise ValueError(msg)
     soft_mode = ("sigmoid" if sigmoid else "hard") if approx else False
 
-    def kernel(scal_ref, phi_ref, x0_ref, px_ref, py_ref, out_ref):
+    def kernel(scal_ref, phi_ref, x0_ref, bc_ref, px_ref, py_ref, out_ref):
         txx = scal_ref[0]
         txy = scal_ref[1]
         alpha = scal_ref[2]
@@ -146,10 +146,13 @@ def build_opt_order1_kernel(
                 loss, g = value_and_deriv(theta)
                 m = ADAM_B1 * m + (1.0 - ADAM_B1) * g
                 v = ADAM_B2 * v + (1.0 - ADAM_B2) * (g * g)
-                tf = t.astype(jnp.float32) + 1.0
-                # b**t as exp(t log b): Mosaic has no scalar powf.
-                b1_t = jnp.exp(tf * _math.log(ADAM_B1))
-                b2_t = jnp.exp(tf * _math.log(ADAM_B2))
+                # Bias corrections b**(t+1) come from an SMEM table
+                # precomputed by XLA's own `decay**count` lowering (see
+                # run()), so they are bit-identical to optax.adam's
+                # (Mosaic has no scalar powf, and exp(t log b) drifted
+                # from XLA over 100-step trajectories).
+                b1_t = bc_ref[t]
+                b2_t = bc_ref[steps + t]
                 m_hat = m / (1.0 - b1_t)
                 v_hat = v / (1.0 - b2_t)
                 theta = theta + (-ADAM_LR) * m_hat / (
@@ -255,6 +258,16 @@ def build_opt_order1_kernel(
         py = py.reshape(rows, LANES)
 
         packed = jnp.concatenate([tx, scalars]).astype(jnp.float32)
+        # Adam bias-correction table, computed with the exact same XLA
+        # `decay**count` lowering optax.scale_by_adam uses (count is the
+        # 1-based step index), then read per step from SMEM.
+        counts = jnp.arange(1, steps + 1, dtype=jnp.float32)
+        bc = jnp.concatenate(
+            [
+                jnp.float32(ADAM_B1) ** counts,
+                jnp.float32(ADAM_B2) ** counts,
+            ]
+        )
         tile_spec = pl.BlockSpec(
             (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
@@ -262,11 +275,11 @@ def build_opt_order1_kernel(
         out = pl.pallas_call(
             kernel,
             grid=(rows // SUBLANES,),
-            in_specs=[smem, smem, smem, tile_spec, tile_spec],
+            in_specs=[smem, smem, smem, smem, tile_spec, tile_spec],
             out_specs=tile_spec,
             out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
             interpret=interpret,
-        )(packed, phi.astype(jnp.float32), x0.astype(jnp.float32), px, py)
+        )(packed, phi.astype(jnp.float32), x0.astype(jnp.float32), bc, px, py)
         return out.reshape(padded)[:P]
 
     return run

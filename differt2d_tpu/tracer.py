@@ -685,12 +685,35 @@ def _pallas_eligible(scene, kwargs: dict) -> bool:
     # interpreter mode. Any other backend (GPU, ...) uses the XLA tracer.
     if jax.default_backend() not in ("tpu", "cpu"):
         return False
-    # Fermat/MPT stay on the XLA tracer under auto dispatch: the
-    # in-kernel adam solver (opt-in via backend='pallas') is 1.5x faster
-    # with ~100x faster compiles, but 100-step optimizer trajectories
-    # amplify TPU transcendental-approximation differences beyond
-    # allclose tolerance at validity boundaries.
-    if kwargs.get("solver", "image") != "image":
+    # Fermat auto-dispatches to the in-kernel adam solver now that its
+    # bias-correction table is computed by XLA's own `decay**count`
+    # lowering (bit-parity with optax; verified allclose on TPU).
+    # MPT stays opt-in: its residual objective has multiple basins, and
+    # 100-step trajectories near basin boundaries amplify Mosaic-vs-XLA
+    # rounding into occasional O(1) per-pixel differences (measured
+    # 5/4096 pixels on TPU).
+    solver = kwargs.get("solver", "image")
+    if solver == "fermat":
+        # Real TPU only: the 100-step in-kernel adam loop is pathological
+        # under the CPU interpreter (instruction-level interpretation per
+        # step per tile), and the XLA tracer is already fast on CPU.
+        if jax.default_backend() != "tpu":
+            return False
+        if kwargs.get("key") is None:
+            return False
+        # The in-kernel solver covers order <= 1, non-vertex candidates.
+        order = kwargs.get("order")
+        max_order = kwargs.get("max_order", 1)
+        if order is None and max_order > 1:
+            return False
+        if order is not None and order > 1:
+            return False
+        arrays_k = scene_arrays(scene)
+        if arrays_k is None or bool(
+            np.any(np.asarray(arrays_k.kind) == KIND_VERTEX)
+        ):
+            return False
+    elif solver != "image":
         return False
     if kwargs.get("power_fun") is not None:
         return False
@@ -823,20 +846,42 @@ def power_map(
 
     :return: ``[m, n]`` map (or ``[m, n, 2]`` grad / (value, grad) tuple).
     """
+    # Resolve the approx tri-state NOW (not at trace time inside
+    # make_pixels_fn): the run cache below keys on kwargs, so an
+    # unresolved None would let a map traced under one global logic mode
+    # be replayed after set_approx() flipped it (reference semantics:
+    # ENABLE_APPROX is read when tracing, ``logic.py:95-196``).
+    if kwargs.get("approx") is None:
+        from .logic import ENABLE_APPROX
+
+        kwargs["approx"] = bool(ENABLE_APPROX)
+
+    traced_scene = any(
+        isinstance(leaf, jax.core.Tracer)
+        for leaf in jax.tree_util.tree_leaves(scene)
+    )
+    if traced_scene and backend == "pallas":
+        msg = (
+            "backend='pallas' requires a concrete scene (the kernel bakes"
+            " host-side wall data); differentiate or jit over scene"
+            " parameters with backend='xla' or 'auto'"
+        )
+        raise ValueError(msg)
     want_pallas = backend == "pallas" or (
         backend == "auto"
-        and not grad
-        and not value_and_grad
+        and not traced_scene
         and _pallas_eligible(scene, kwargs)
+        # Gradient maps run in-kernel for the image solver only.
+        and not ((grad or value_and_grad) and kwargs.get("solver", "image") != "image")
     )
     if want_pallas:
         from .logic import sigmoid as _sigmoid
         from .ops.pallas_kernels import pallas_power_map
 
-        if grad or value_and_grad:
+        if (grad or value_and_grad) and kwargs.get("solver", "image") != "image":
             msg = (
-                "backend='pallas' computes values only (pixel-gradient maps"
-                " run on the XLA tracer; use backend='xla' or 'auto')"
+                "backend='pallas' gradient maps support the image solver"
+                " only; use backend='xla' or 'auto' for Fermat/MPT"
             )
             raise ValueError(msg)
         if backend == "pallas":
@@ -900,16 +945,14 @@ def power_map(
             Y,
             sigmoid=function is _sigmoid,
             interpret=jax.default_backend() == "cpu",
+            grad=grad,
+            value_and_grad=value_and_grad,
             **kwargs,
         )
 
     kwargs.pop("backend", None)
     run = None
     fingerprint = None
-    traced_scene = any(
-        isinstance(leaf, jax.core.Tracer)
-        for leaf in jax.tree_util.tree_leaves(scene)
-    )
     if jit and not traced_scene:
         fingerprint = _kwargs_fingerprint(kwargs, grad, value_and_grad)
         if fingerprint is not None:

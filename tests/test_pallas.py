@@ -108,14 +108,75 @@ def test_auto_backend_tx_grid(grids):
     chex.assert_trees_all_close(auto, ref, **TOL)
 
 
-def test_grad_requests_stay_on_xla(grids):
+@pytest.mark.parametrize("approx", [True, False])
+def test_grad_map_matches_xla(grids, approx):
+    """In-kernel forward-mode pixel gradients vs the XLA tracer's jvp path."""
     scene = Scene.basic_scene()
     X, Y = grids
-    out = tracer.power_map(scene, X, Y, max_order=1, approx=True, grad=True)
+    ref = tracer.power_map(
+        scene, X, Y, max_order=1, approx=approx, grad=True, backend="xla"
+    )
+    pal = pallas_power_map(
+        scene, X, Y, max_order=1, approx=approx, grad=True, interpret=True
+    )
+    assert pal.shape == (*X.shape, 2)
+    chex.assert_trees_all_close(ref, pal, **TOL)
+
+
+def test_value_and_grad_map_matches_xla(grids):
+    scene = Scene.basic_scene()
+    X, Y = grids
+    rv, rg = tracer.power_map(
+        scene, X, Y, max_order=1, approx=True, value_and_grad=True,
+        backend="xla",
+    )
+    pv, pg = pallas_power_map(
+        scene, X, Y, max_order=1, approx=True, value_and_grad=True,
+        interpret=True,
+    )
+    chex.assert_trees_all_close(rv, pv, **TOL)
+    chex.assert_trees_all_close(rg, pg, **TOL)
+
+
+def test_grad_map_looped_matches_xla(grids):
+    """Gradient maps through the fori_loop kernel (large candidate set)."""
+    scene = Scene.basic_scene()
+    X, Y = grids
+    ref = tracer.power_map(
+        scene, X, Y, max_order=2, approx=True, grad=True, backend="xla"
+    )
+    pal = pallas_power_map(
+        scene, X, Y, max_order=2, approx=True, grad=True, interpret=True
+    )
+    chex.assert_trees_all_close(ref, pal, **TOL)
+
+
+def test_grad_auto_dispatches_to_pallas(grids):
+    """grad=True with an image-solver request now rides the Pallas kernel
+    under backend='auto' and must equal the XLA tracer."""
+    scene = Scene.basic_scene()
+    X, Y = grids
+    auto = tracer.power_map(scene, X, Y, max_order=1, approx=True, grad=True)
+    ref = tracer.power_map(
+        scene, X, Y, max_order=1, approx=True, grad=True, backend="xla"
+    )
+    assert auto.shape == (*X.shape, 2)
+    chex.assert_trees_all_close(auto, ref, **TOL)
+
+
+def test_solver_grad_requests_stay_on_xla(grids, key):
+    """Fermat/MPT gradient maps still run on the XLA tracer."""
+    scene = Scene.square_scene()
+    X, Y = grids
+    out = tracer.power_map(
+        scene, X, Y, max_order=1, approx=True, grad=True, solver="mpt",
+        key=key, steps=5,
+    )
     assert out.shape == (*X.shape, 2)
     with pytest.raises(ValueError):
         tracer.power_map(
-            scene, X, Y, max_order=1, approx=True, grad=True, backend="pallas"
+            scene, X, Y, max_order=1, approx=True, grad=True, solver="mpt",
+            key=key, steps=5, backend="pallas",
         )
 
 

@@ -201,3 +201,67 @@ def test_power_map_rejects_bad_objects():
     )
     with pytest.raises(ValueError):
         tracer.power_map(scene, jnp.zeros((2, 2)), jnp.zeros((2, 2)))
+
+
+def test_run_cache_tracks_global_approx(grids):
+    """After set_approx() flips the global logic mode, a cached power_map
+    on the same scene must re-trace instead of replaying the old mode."""
+    from differt2d_tpu.logic import set_approx
+
+    scene = Scene.basic_scene()
+    X, Y = grids
+    try:
+        set_approx(False)
+        hard = tracer.power_map(scene, X, Y, max_order=1, backend="xla")
+        set_approx(True)
+        soft = tracer.power_map(scene, X, Y, max_order=1, backend="xla")
+    finally:
+        set_approx(False)
+    explicit_soft = tracer.power_map(
+        scene, X, Y, max_order=1, approx=True, backend="xla"
+    )
+    chex.assert_trees_all_close(soft, explicit_soft)
+    assert not jnp.allclose(hard, soft)
+
+
+def test_traced_scene_falls_back_to_xla(grids):
+    """jax.grad w.r.t. scene parameters (traced scene leaves) must not
+    reach the Pallas dispatch path (which needs concrete wall data)."""
+    from differt2d_tpu._module import tree_at
+
+    scene = Scene.square_scene()
+    X, Y = grids
+
+    def objective(walls):
+        objs = tuple(
+            tree_at(o, xys=walls[i]) for i, o in enumerate(scene.objects)
+        )
+        s = tree_at(scene, objects=objs)
+        return jnp.sum(
+            tracer.power_map(s, X, Y, max_order=1, approx=True)
+        )
+
+    walls0 = jnp.stack([o.xys for o in scene.objects])
+    g = jax.grad(objective)(walls0)
+    assert g.shape == walls0.shape
+    assert jnp.all(jnp.isfinite(g))
+
+
+def test_forced_pallas_rejects_traced_scene(grids):
+    from differt2d_tpu._module import tree_at
+
+    scene = Scene.square_scene()
+    X, Y = grids
+
+    def objective(walls):
+        objs = tuple(
+            tree_at(o, xys=walls[i]) for i, o in enumerate(scene.objects)
+        )
+        s = tree_at(scene, objects=objs)
+        return jnp.sum(
+            tracer.power_map(s, X, Y, max_order=1, backend="pallas")
+        )
+
+    walls0 = jnp.stack([o.xys for o in scene.objects])
+    with pytest.raises(ValueError, match="concrete scene"):
+        jax.grad(objective)(walls0)

@@ -10,6 +10,7 @@ path. Multi-host runs use :func:`jax.distributed.initialize` plus
 host-local sharded grids.
 """
 
+from .cand_sharded import power_map_cand_sharded
 from .launcher import host_local_pixels, initialize_from_env
 from .sharding import (
     grid_mesh,
@@ -26,6 +27,7 @@ __all__ = (
     "initialize_distributed",
     "initialize_from_env",
     "make_train_step",
+    "power_map_cand_sharded",
     "power_map_sharded",
     "power_map_wall_sharded",
     "shard_pixels",

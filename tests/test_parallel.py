@@ -48,7 +48,11 @@ def test_sharded_matches_single_device(mesh, approx):
 def test_sharded_grad_matches(mesh):
     scene = Scene.basic_scene()
     X, Y = jnp.meshgrid(jnp.linspace(0.05, 0.95, 16), jnp.linspace(0.04, 0.96, 8))
-    single = tracer.power_map(scene, X, Y, max_order=1, approx=True, grad=True)
+    # backend="xla": the sharded path runs the XLA tracer, and grad maps
+    # now auto-dispatch to the Pallas kernel (allclose, not bitwise).
+    single = tracer.power_map(
+        scene, X, Y, max_order=1, approx=True, grad=True, backend="xla"
+    )
     multi = power_map_sharded(
         scene, X, Y, mesh=mesh, max_order=1, approx=True, grad=True
     )
@@ -172,3 +176,102 @@ def test_train_step_ris_phase(mesh):
         params, opt_state, loss = step(params, opt_state, pixels, 100.0)
     assert jnp.isfinite(params["phi"])
     assert jnp.isfinite(loss)
+
+
+class TestCandSharded:
+    """Candidate-axis sharding (order-2 + gradients over a 2D mesh)."""
+
+    @pytest.fixture(scope="class")
+    def mesh2d(self):
+        import numpy as np
+        from jax.sharding import Mesh
+
+        return Mesh(
+            np.array(jax.devices()).reshape(2, 4), ("grid", "cand")
+        )
+
+    @pytest.mark.parametrize("max_order", [1, 2])
+    def test_matches_replicated(self, mesh2d, max_order):
+        from differt2d_tpu.parallel import power_map_cand_sharded
+
+        scene = Scene.basic_scene()
+        X, Y = jnp.meshgrid(
+            jnp.linspace(0.05, 0.95, 16), jnp.linspace(0.04, 0.96, 11)
+        )
+        ref = tracer.power_map(
+            scene, X, Y, max_order=max_order, approx=True, backend="xla"
+        )
+        out = power_map_cand_sharded(
+            scene, X, Y, mesh=mesh2d, max_order=max_order, approx=True
+        )
+        chex.assert_trees_all_close(ref, out, rtol=1e-5, atol=1e-6)
+
+    def test_value_and_grad_matches(self, mesh2d):
+        from differt2d_tpu.parallel import power_map_cand_sharded
+
+        scene = Scene.basic_scene()
+        X, Y = jnp.meshgrid(
+            jnp.linspace(0.05, 0.95, 12), jnp.linspace(0.04, 0.96, 8)
+        )
+        rv, rg = tracer.power_map(
+            scene, X, Y, max_order=2, approx=True, value_and_grad=True,
+            backend="xla",
+        )
+        sv, sg = power_map_cand_sharded(
+            scene, X, Y, mesh=mesh2d, max_order=2, approx=True,
+            value_and_grad=True,
+        )
+        chex.assert_trees_all_close(rv, sv, rtol=1e-5, atol=1e-6)
+        chex.assert_trees_all_close(rg, sg, rtol=1e-4, atol=1e-5)
+
+    def test_mixed_kind_scene(self, mesh2d):
+        """RIS + vertex objects ride the candidate shards too."""
+        from differt2d_tpu.geometry import Vertex
+        from differt2d_tpu.parallel import power_map_cand_sharded
+
+        scene = Scene.square_scene().add_objects(
+            RIS(xys=jnp.array([[0.5, 0.3], [0.5, 0.7]]), phi=jnp.array(0.6)),
+            Vertex(xy=jnp.array([0.25, 0.75])),
+        )
+        X, Y = jnp.meshgrid(
+            jnp.linspace(0.05, 0.95, 8), jnp.linspace(0.04, 0.96, 8)
+        )
+        ref = tracer.power_map(
+            scene, X, Y, max_order=1, approx=True, backend="xla"
+        )
+        out = power_map_cand_sharded(
+            scene, X, Y, mesh=mesh2d, max_order=1, approx=True
+        )
+        chex.assert_trees_all_close(ref, out, rtol=1e-5, atol=1e-6)
+
+    def test_scene_param_grads_flow_through_psum(self, mesh2d):
+        from differt2d_tpu._module import tree_at
+        from differt2d_tpu.parallel import power_map_cand_sharded
+
+        scene = Scene.basic_scene()
+        X, Y = jnp.meshgrid(
+            jnp.linspace(0.05, 0.95, 8), jnp.linspace(0.04, 0.96, 8)
+        )
+
+        def loss(wallstack, fn):
+            objs = tuple(
+                tree_at(o, xys=wallstack[i])
+                for i, o in enumerate(scene.objects)
+            )
+            s = tree_at(scene, objects=objs)
+            return jnp.sum(fn(s))
+
+        w0 = jnp.stack([o.xys for o in scene.objects])
+        g_sharded = jax.grad(loss)(
+            w0,
+            lambda s: power_map_cand_sharded(
+                s, X, Y, mesh=mesh2d, max_order=1, approx=True
+            ),
+        )
+        g_ref = jax.grad(loss)(
+            w0,
+            lambda s: tracer.power_map(
+                s, X, Y, max_order=1, approx=True, backend="xla"
+            ),
+        )
+        chex.assert_trees_all_close(g_sharded, g_ref, rtol=1e-4, atol=1e-5)

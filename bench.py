@@ -325,6 +325,20 @@ def full_config_sweep() -> dict:
     )
     out["cfg4_geojson_vertex_diffraction_pts_per_s"] = round(128 * 128 / t, 1)
 
+    # Config 6: city-scale scene (120 walls, the Helsinki-notebook regime):
+    # order-1 map through the looped kernel (121 candidates x 120-wall
+    # visibility per pixel).
+    city = Scene.city_scene()
+    Xc, Yc = jnp.meshgrid(
+        jnp.linspace(0.01, 0.99, 256), jnp.linspace(0.01, 0.99, 256)
+    )
+    t = time_fn(
+        lambda: power_map(city, Xc, Yc, max_order=1, approx=True),
+        warmup=1,
+        iters=3,
+    )
+    out["cfg6_city_120walls_order1_pts_per_s"] = round(256 * 256 / t, 1)
+
     # Config 5: RIS phase-gradient optimization step (MPT).
     base = Scene.square_scene()
     Xr, Yr = jnp.meshgrid(

@@ -51,11 +51,14 @@ PathFun = Callable[..., jax.Array]
 
 SceneName = Literal[
     "basic_scene",
+    "city_scene",
     "square_scene",
     "square_scene_with_obstacle",
     "square_scene_with_wall",
 ]
-"""Literal type of the canned scene factories (reference ``scene.py:54-59``)."""
+"""Literal type of the canned scene factories (reference ``scene.py:54-59``;
+``city_scene`` is this package's 100+-wall city workload, the regime of the
+reference's COST2100 Helsinki notebook)."""
 
 
 @pytree_dataclass
@@ -339,6 +342,71 @@ class Scene(Plottable):
             Wall(xys=jnp.array([[x1, y1], [x0, y1]])),
             Wall(xys=jnp.array([[x0, y1], [x0, y0]])),
         )
+
+    @classmethod
+    def city_scene(
+        cls,
+        blocks: tuple = (5, 6),
+        street: float = 0.06,
+        margin: float = 0.03,
+    ) -> "Scene":
+        """Manhattan-style city map: ``blocks[0] x blocks[1]`` rectangular
+        buildings separated by streets, in the unit square.
+
+        This is the 100+-wall GeoJSON regime of the reference's COST2100
+        Helsinki workload (reference
+        ``docs/source/notebooks/cost20120_helsinki_model.ipynb`` motivates
+        it: candidate count grows as ``num_walls**order``, so city-scale
+        scenes are where candidate enumeration and visibility dominate).
+        The default 5x6 grid yields 30 buildings = **120 walls**. The
+        scene goes through :meth:`from_geojson` (one Feature per
+        building), with TX placed at the central street crossing and RX
+        in the south-east street, both off every wall.
+        """
+        nx, ny = blocks
+        bw = (1.0 - 2.0 * margin - (nx - 1) * street) / nx
+        bh = (1.0 - 2.0 * margin - (ny - 1) * street) / ny
+        if bw <= 0 or bh <= 0:
+            msg = f"blocks {blocks} do not fit with street={street}"
+            raise ValueError(msg)
+        features = []
+        for i in range(nx):
+            for j in range(ny):
+                x0 = margin + i * (bw + street)
+                y0 = margin + j * (bh + street)
+                x1, y1 = x0 + bw, y0 + bh
+                # Unclosed ring: from_geojson's wrap-around indexing
+                # (reference scene.py:645-652) closes it, yielding
+                # exactly 4 walls per building with no degenerate
+                # closing segment.
+                features.append(
+                    {
+                        "type": "Feature",
+                        "geometry": {
+                            "type": "Polygon",
+                            "coordinates": [
+                                [
+                                    [x0, y0],
+                                    [x1, y0],
+                                    [x1, y1],
+                                    [x0, y1],
+                                ]
+                            ],
+                        },
+                    }
+                )
+        scene = cls.from_geojson(
+            json.dumps({"type": "FeatureCollection", "features": features})
+        )
+        # TX at the central street crossing, RX in the south-east street.
+        cross_x = margin + (nx // 2) * (bw + street) - street / 2.0
+        cross_y = margin + (ny // 2) * (bh + street) - street / 2.0
+        scene = scene.with_transmitters(
+            tx=Point(xy=jnp.array([cross_x, cross_y]))
+        )
+        rx_x = margin + (nx - 1) * (bw + street) - street / 2.0
+        rx_y = margin + bh + street / 2.0
+        return scene.with_receivers(rx=Point(xy=jnp.array([rx_x, rx_y])))
 
     # -- plotting / extents (reference scene.py:937-1070) -------------------
 

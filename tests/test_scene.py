@@ -400,3 +400,48 @@ class TestVertexDiffraction:
         for _, _, valid, path, candidate in paths:
             vertex = scene.objects[int(candidate[0])]
             chex.assert_trees_all_close(path.xys[1], vertex.xy, atol=1e-6)
+
+
+class TestCityScene:
+    """120-wall city workload (the reference's Helsinki-notebook regime)."""
+
+    def test_wall_count_and_dispatch(self):
+        scene = Scene.city_scene()
+        assert len(scene.objects) == 5 * 6 * 4  # 30 buildings x 4 walls
+        named = Scene.from_scene_name("city_scene")
+        assert len(named.objects) == len(scene.objects)
+
+    def test_custom_blocks(self):
+        scene = Scene.city_scene(blocks=(3, 3))
+        assert len(scene.objects) == 36
+
+    def test_tx_rx_on_streets(self):
+        """TX/RX must not sit on any wall (that would NaN gradients)."""
+        import numpy as np
+
+        scene = Scene.city_scene()
+        for p in (scene.transmitters["tx"].xy, scene.receivers["rx"].xy):
+            for wall in scene.objects:
+                a, b = np.asarray(wall.xys)
+                d = b - a
+                t = np.dot(np.asarray(p) - a, d) / np.dot(d, d)
+                t = np.clip(t, 0.0, 1.0)
+                dist = np.linalg.norm(np.asarray(p) - (a + t * d))
+                assert dist > 1e-3
+
+    def test_power_map_backends_agree(self):
+        import chex
+        import jax.numpy as jnp
+
+        from differt2d_tpu import tracer
+
+        scene = Scene.city_scene()
+        X, Y = jnp.meshgrid(
+            jnp.linspace(0.03, 0.97, 12), jnp.linspace(0.02, 0.96, 12)
+        )
+        ref = tracer.power_map(scene, X, Y, max_order=1, approx=True, backend="xla")
+        pal = tracer.power_map(
+            scene, X, Y, max_order=1, approx=True, backend="pallas"
+        )
+        assert float(ref.max()) > 0.0
+        chex.assert_trees_all_close(ref, pal, rtol=1e-4, atol=1e-5)

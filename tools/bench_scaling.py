@@ -48,14 +48,39 @@ def main():
     if counts[-1] != len(devices):
         counts.append(len(devices))
 
+    from differt2d_tpu.parallel import shard_pixels
+    from differt2d_tpu.tracer import make_pixels_fn
+
+    pixels_flat = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
     results = {}
     for n in counts:
         mesh = grid_mesh(devices[:n])
+        # Build + jit ONCE per mesh, then time steady-state dispatches --
+        # power_map_sharded retraces per call (fresh closure), which
+        # swamps the map time at bench sizes.
+        fn = jax.jit(
+            make_pixels_fn(scene, max_order=args.max_order, approx=True)
+        )
+        sharded, _ = shard_pixels(pixels_flat, mesh)
 
         def run():
-            return power_map_sharded(
-                scene, X, Y, mesh=mesh, max_order=args.max_order, approx=True
-            )
+            return fn(sharded)
+
+        # SPMD-partition evidence (the testable invariant on a virtual
+        # mesh, where wall-clock is confounded by the shared host):
+        # per-device FLOPs must drop as 1/N and the forward pass must
+        # contain no collectives.
+        compiled = fn.lower(sharded).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_per_device = float(ca.get("flops", 0.0))
+        hlo = compiled.as_text()
+        collectives = sum(
+            hlo.count(op)
+            for op in ("all-reduce", "all-gather", "reduce-scatter",
+                       "collective-permute")
+        )
 
         jax.block_until_ready(run())  # compile
         jax.block_until_ready(run())  # warm
@@ -75,6 +100,8 @@ def main():
                     "points_per_s": round(pps, 1),
                     "s_per_map": round(dt, 5),
                     "scaling_efficiency": round(eff, 4),
+                    "flops_per_device": flops_per_device,
+                    "forward_collectives": collectives,
                 }
             )
         )

@@ -47,6 +47,15 @@ def shard_pixels(
     dropped after unpadding); with soft logic they produce finite values,
     so no masking is needed.
 
+    >>> import jax, jax.numpy as jnp
+    >>> from differt2d_tpu.parallel import grid_mesh, shard_pixels
+    >>> mesh = grid_mesh()
+    >>> sharded, n = shard_pixels(jnp.zeros((13, 2)), mesh)
+    >>> n
+    13
+    >>> int(sharded.shape[0]) % mesh.devices.size
+    0
+
     :return: (sharded padded pixels, original length).
     """
     n = pixels.shape[0]

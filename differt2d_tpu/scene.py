@@ -275,6 +275,13 @@ class Scene(Plottable):
         """Unit square with an inner room in the lower-left corner; 7 walls.
 
         Wall layout identical to reference ``scene.py:736-787``.
+
+        >>> from differt2d_tpu.scene import Scene
+        >>> scene = Scene.basic_scene()
+        >>> len(scene.objects)
+        7
+        >>> sorted(scene.transmitters) + sorted(scene.receivers)
+        ['tx', 'rx']
         """
         tx = Point(xy=jnp.asarray(tx_coords, dtype=float))
         rx = Point(xy=jnp.asarray(rx_coords, dtype=float))
@@ -362,6 +369,12 @@ class Scene(Plottable):
         scene goes through :meth:`from_geojson` (one Feature per
         building), with TX placed at the central street crossing and RX
         in the south-east street, both off every wall.
+
+        >>> from differt2d_tpu.scene import Scene
+        >>> len(Scene.city_scene().objects)
+        120
+        >>> len(Scene.city_scene(blocks=(3, 3)).objects)
+        36
         """
         nx, ny = blocks
         bw = (1.0 - 2.0 * margin - (nx - 1) * street) / nx

@@ -841,8 +841,20 @@ def power_map(
 
     ``backend``: ``"auto"`` uses the fused Pallas TPU kernel
     (:mod:`differt2d_tpu.ops.pallas_kernels`, ~3x the XLA path) whenever
-    the request is an image-solver forward map, the XLA tracer otherwise;
-    ``"xla"`` / ``"pallas"`` force a backend.
+    the request is an image-solver map (values or pixel gradients), the
+    XLA tracer otherwise; ``"xla"`` / ``"pallas"`` force a backend.
+
+    >>> import jax.numpy as jnp
+    >>> from differt2d_tpu.scene import Scene
+    >>> from differt2d_tpu.tracer import power_map
+    >>> scene = Scene.basic_scene()
+    >>> X, Y = jnp.meshgrid(jnp.linspace(0.1, 0.9, 4), jnp.linspace(0.1, 0.9, 3))
+    >>> power_map(scene, X, Y, max_order=1, approx=True, backend="xla").shape
+    (3, 4)
+    >>> Z, dZ = power_map(scene, X, Y, max_order=1, approx=True,
+    ...                   value_and_grad=True, backend="xla")
+    >>> Z.shape, dZ.shape
+    ((3, 4), (3, 4, 2))
 
     :return: ``[m, n]`` map (or ``[m, n, 2]`` grad / (value, grad) tuple).
     """

@@ -9,6 +9,10 @@ import pytest
 import differt2d_tpu.geometry
 import differt2d_tpu.logic
 import differt2d_tpu.optimize
+import differt2d_tpu.parallel.sharding
+import differt2d_tpu.rt.graph
+import differt2d_tpu.scene
+import differt2d_tpu.tracer
 import differt2d_tpu.utils
 
 
@@ -18,6 +22,10 @@ import differt2d_tpu.utils
         differt2d_tpu.geometry,
         differt2d_tpu.logic,
         differt2d_tpu.optimize,
+        differt2d_tpu.parallel.sharding,
+        differt2d_tpu.rt.graph,
+        differt2d_tpu.scene,
+        differt2d_tpu.tracer,
         differt2d_tpu.utils,
     ],
     ids=lambda m: m.__name__,

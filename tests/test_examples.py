@@ -28,7 +28,7 @@ EXAMPLES = [
         "examples/plot_vertex_diffraction_power_map.py",
         ["--resolution", "8", "--output", "{tmp}/vd.png"],
     ),
-    ("examples/interactive.py", ["--resolution", "8", "--frames", "1"]),
+    ("examples/interactive.py", ["--resolution", "8", "--frames", "14"]),
     (
         "examples/train_gflownet.py",
         ["--order", "1", "--steps", "3", "--batch", "8",

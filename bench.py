@@ -29,14 +29,23 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as jnp
 
 
-def time_fn(fn, *args, warmup=2, iters=5):
+def time_fn(fn, *args, warmup=2, iters=5, blocks=3):
+    """Steady-state seconds per call: min over ``blocks`` timing blocks.
+
+    The chip sits behind a remote tunnel whose latency fluctuates 2-3x
+    between runs; the min of several blocks estimates the true device
+    capability rather than transient tunnel load.
+    """
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def main():
@@ -282,16 +291,23 @@ def full_config_sweep() -> dict:
             key=key,
         )
 
-    f_and_df = jax.jit(jax.value_and_grad(loss))
+    # One FUSED jitted step (value+grad+adam update in a single
+    # dispatch): running optax on the host costs dozens of tiny op
+    # dispatches per step, which dominates on remote-dispatch devices.
     optimizer = optax.chain(optax.adam(0.01), optax.zero_nans())
+
+    @jax.jit
+    def mpt_step(tx, state, alpha):
+        v, g = jax.value_and_grad(loss)(tx, alpha)
+        updates, state = optimizer.update(g, state)
+        return tx + updates, state, v
+
     tx = jnp.array([0.3, 0.6])
     state = optimizer.init(tx)
 
     def opt_step():
         nonlocal tx, state
-        v, g = f_and_df(tx, 50.0)
-        updates, state = optimizer.update(g, state)
-        tx = tx + updates
+        tx, state, v = mpt_step(tx, state, 50.0)
         return v
 
     t = time_fn(opt_step, warmup=2, iters=5)
@@ -363,8 +379,23 @@ def full_config_sweep() -> dict:
         )
         return -jnp.sum(Z)
 
-    ris_grad = jax.jit(jax.value_and_grad(ris_loss))
-    t = time_fn(lambda: ris_grad(jnp.array(0.5)), warmup=1, iters=3)
+    ris_opt = optax.chain(optax.adam(0.05), optax.zero_nans())
+
+    @jax.jit
+    def ris_step(phi, state):
+        v, g = jax.value_and_grad(ris_loss)(phi)
+        updates, state = ris_opt.update(g, state)
+        return phi + updates, state, v
+
+    phi = jnp.array(0.5)
+    ris_state = ris_opt.init(phi)
+
+    def ris_step_fn():
+        nonlocal phi, ris_state
+        phi, ris_state, v = ris_step(phi, ris_state)
+        return v
+
+    t = time_fn(ris_step_fn, warmup=1, iters=3)
     out["cfg5_ris_phase_opt_s_per_step"] = round(t, 4)
 
     return out

@@ -429,9 +429,11 @@ def build_power_map_kernel_looped(
     cand_orders = [o for o in group_orders if o >= 1 and groups[o].size]
 
     def kernel(scal_ref, walls_ref, kind_ref, phi_ref, *rest):
-        cand_ref_by_order = dict(zip(cand_orders, rest[: len(cand_orders)]))
-        px_ref, py_ref = rest[len(cand_orders) : len(cand_orders) + 2]
-        out_refs = rest[len(cand_orders) + 2 :]
+        k = len(cand_orders)
+        cand_ref_by_order = dict(zip(cand_orders, rest[:k]))
+        img_ref_by_order = dict(zip(cand_orders, rest[k : 2 * k]))
+        aux_ref, px_ref, py_ref = rest[2 * k : 2 * k + 3]
+        out_refs = rest[2 * k + 3 :]
 
         txx = scal_ref[0]
         txy = scal_ref[1]
@@ -455,33 +457,46 @@ def build_power_map_kernel_looped(
                 walls_ref[base + 3],
             )
 
-        def wall_normal_rt(axw, ayw, bxw, byw):
-            tx_, ty_ = bxw - axw, byw - ayw
-            nx, ny = ty_, -tx_
-            n = jnp.sqrt(nx * nx + ny * ny)
-            safe = jnp.where(n == 0.0, 1.0, n)
-            return nx / safe, ny / safe
+        # aux_ref layout: [unit normals 2W | patched endpoints 4W] --
+        # both precomputed by XLA in run() so the kernel's candidate
+        # loop carries no dependent scalar chains (normalize/rsqrt and
+        # the TX mirror sweep were the scalar-unit bottleneck).
+        def read_normal(i):
+            return aux_ref[2 * i], aux_ref[2 * i + 1]
+
+        def read_patched(w):
+            base = 2 * W + 4 * w
+            return (
+                aux_ref[base],
+                aux_ref[base + 1],
+                aux_ref[base + 2],
+                aux_ref[base + 3],
+            )
 
         def pixel_body(px, py):
             def group_sum(order, cand_ref, count, acc0):
                 """Accumulate all candidates of one order via fori_loop."""
 
+                img_ref = img_ref_by_order[order]
+
                 def body(c, acc):
                     idx = [cand_ref[c * order + j] for j in range(order)]
                     wall_vals = [read_wall(i) for i in idx]
                     kinds = [kind_ref[i] for i in idx]
-                    normals = [wall_normal_rt(*wv) for wv in wall_vals]
+                    normals = [read_normal(i) for i in idx]
 
-                    # Forward scalar mirror sweep (vertex segments are
-                    # degenerate: zero normal => identity mirror).
-                    images = []
-                    ix, iy = txx, txy
-                    for j in range(order):
-                        axw, ayw, _, _ = wall_vals[j]
-                        nx, ny = normals[j]
-                        d = (ix - axw) * nx + (iy - ayw) * ny
-                        ix, iy = ix - 2.0 * d * nx, iy - 2.0 * d * ny
-                        images.append((ix, iy))
+                    # Mirror-image chain of TX through the candidate's
+                    # walls: depends only on (TX, candidate), so it is
+                    # precomputed by XLA in run() and read from SMEM
+                    # (the dependent scalar sweep stalled the scalar
+                    # unit once per candidate per tile).
+                    images = [
+                        (
+                            img_ref[(c * order + j) * 2],
+                            img_ref[(c * order + j) * 2 + 1],
+                        )
+                        for j in range(order)
+                    ]
 
                     # Backward elementwise intersections, vertex pinning.
                     ptx, pty = px, py
@@ -564,13 +579,12 @@ def build_power_map_kernel_looped(
                     seg_idx = [minus_one] + [i for i in idx] + [minus_one]
                     for s in range(order + 1):
                         for w in range(W):
-                            axw, ayw, bxw, byw = read_wall(w)
-                            tx_, ty_ = bxw - axw, byw - ayw
+                            wa_x, wa_y, wb_x, wb_y = read_patched(w)
                             hit = _seg_intersect(
-                                axw - patch * tx_,
-                                ayw - patch * ty_,
-                                bxw + patch * tx_,
-                                byw + patch * ty_,
+                                wa_x,
+                                wa_y,
+                                wb_x,
+                                wb_y,
                                 path_x[s], path_y[s],
                                 path_x[s + 1], path_y[s + 1],
                                 soft_mode,
@@ -613,13 +627,12 @@ def build_power_map_kernel_looped(
                     else:
                         blk = jnp.zeros_like(px, dtype=jnp.bool_)
                     for w in range(W):
-                        axw, ayw, bxw, byw = read_wall(w)
-                        tx_, ty_ = bxw - axw, byw - ayw
+                        wa_x, wa_y, wb_x, wb_y = read_patched(w)
                         hit = _seg_intersect(
-                            axw - patch * tx_,
-                            ayw - patch * ty_,
-                            bxw + patch * tx_,
-                            byw + patch * ty_,
+                            wa_x,
+                            wa_y,
+                            wb_x,
+                            wb_y,
                             jnp.full_like(px, txx), jnp.full_like(py, txy),
                             px, py,
                             soft_mode,
@@ -684,11 +697,45 @@ def build_power_map_kernel_looped(
         py = py.reshape(rows, LANES)
 
         packed = jnp.concatenate([tx, scalars]).astype(jnp.float32)
-        walls_flat = walls.reshape(-1).astype(jnp.float32)
+        walls32 = walls.astype(jnp.float32)
+        walls_flat = walls32.reshape(-1)
         cand_arrays = [
             jnp.asarray(groups[o].reshape(-1), dtype=jnp.int32)
             for o in cand_orders
         ]
+
+        # Per-wall quantities hoisted out of the kernel (XLA computes
+        # them once per call; the kernel reads SMEM scalars): unit
+        # normals and patch-grown endpoints. Formulas match the former
+        # in-kernel scalar versions op-for-op.
+        a_pt = walls32[:, 0, :]
+        b_pt = walls32[:, 1, :]
+        t_vec = b_pt - a_pt
+        n_raw = jnp.stack([t_vec[:, 1], -t_vec[:, 0]], axis=-1)
+        n_len = jnp.sqrt(jnp.sum(n_raw * n_raw, axis=-1, keepdims=True))
+        n_safe = jnp.where(n_len == 0.0, 1.0, n_len)
+        normals32 = n_raw / n_safe  # [W, 2]
+        patch_rt = scalars[2].astype(jnp.float32)
+        patched = jnp.concatenate(
+            [a_pt - patch_rt * t_vec, b_pt + patch_rt * t_vec], axis=-1
+        )  # [W, 4]
+        aux = jnp.concatenate([normals32.reshape(-1), patched.reshape(-1)])
+
+        # Mirror-image chains of TX through each candidate's walls
+        # (depend only on TX + candidate, not on pixels).
+        tx32 = tx.astype(jnp.float32)
+        img_arrays = []
+        for o in cand_orders:
+            cand = jnp.asarray(groups[o], dtype=jnp.int32)  # [C, o]
+            cur = jnp.broadcast_to(tx32, (cand.shape[0], 2))
+            chain = []
+            for j in range(o):
+                wn = normals32[cand[:, j]]  # [C, 2]
+                wa = walls32[cand[:, j], 0, :]
+                d = jnp.sum((cur - wa) * wn, axis=-1, keepdims=True)
+                cur = cur - 2.0 * d * wn
+                chain.append(cur)
+            img_arrays.append(jnp.stack(chain, axis=1).reshape(-1))
 
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         tile_spec = pl.BlockSpec(
@@ -698,7 +745,7 @@ def build_power_map_kernel_looped(
             kernel,
             grid=(rows // block_rows,),
             in_specs=[smem, smem, smem, smem]
-            + [smem] * len(cand_arrays)
+            + [smem] * (2 * len(cand_arrays) + 1)
             + [tile_spec, tile_spec],
             out_specs=_out_specs(with_grad, block_rows),
             out_shape=_out_shape(rows, with_grad),
@@ -709,6 +756,8 @@ def build_power_map_kernel_looped(
             kind.astype(jnp.int32),
             phi.astype(jnp.float32),
             *cand_arrays,
+            *img_arrays,
+            aux,
             px,
             py,
         )

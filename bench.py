@@ -29,23 +29,63 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as jnp
 
 
-def time_fn(fn, *args, warmup=2, iters=5, blocks=3):
-    """Steady-state seconds per call: min over ``blocks`` timing blocks.
+def chained_map_time(map_fn, pixels, k=10, reps=2):
+    """Per-map seconds for ``map_fn(pixels[P, 2]) -> values``.
 
-    The chip sits behind a remote tunnel whose latency fluctuates 2-3x
-    between runs; the min of several blocks estimates the true device
-    capability rather than transient tunnel load.
+    Runs ``k`` maps chained by a data dependency (each map's output
+    perturbs the next map's input by 1e-20, forcing true sequential
+    device execution) with ONE host materialization at the end, then
+    removes the fixed round-trip cost via the slope
+    ``(t(k) - t(1)) / (k - 1)``. This is the only methodology that
+    survives this tunnel: async timing under-reports (non-blocking
+    "block_until_ready") and per-call host reads over-report (a ~30 ms
+    round trip per map).
     """
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    best = float("inf")
-    for _ in range(blocks):
+    P = pixels.shape[0]
+
+    @jax.jit
+    def chain(px, out):
+        flat = jnp.asarray(out).reshape(-1)[:P]
+        return px + 1e-20 * flat[:, None]
+
+    out = map_fn(pixels)
+    first = out[0] if isinstance(out, tuple) else out
+    float(jnp.sum(first))  # compile + warm, real materialization
+    float(jnp.sum(chain(pixels, first)[0]))
+
+    def run(kk):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        p = pixels
+        o = None
+        for _ in range(kk):
+            o = map_fn(p)
+            o = o[0] if isinstance(o, tuple) else o
+            p = chain(pixels, o)
+        float(jnp.sum(o))
+        return time.perf_counter() - t0
+
+    t1 = min(run(1) for _ in range(reps))
+    tk = min(run(k) for _ in range(reps))
+    return max((tk - t1) / (k - 1), 1e-9)
+
+
+def chained_step_time(step_once, k=10, reps=2):
+    """Per-step seconds for an optimizer step that advances persistent
+    state and returns a device scalar (steps are already chained by the
+    parameter carry; one host read per timing block)."""
+
+    def run(kk):
+        t0 = time.perf_counter()
+        v = None
+        for _ in range(kk):
+            v = step_once()
+        float(v)
+        return time.perf_counter() - t0
+
+    float(step_once())  # warm
+    t1 = min(run(1) for _ in range(reps))
+    tk = min(run(k) for _ in range(reps))
+    return max((tk - t1) / (k - 1), 1e-9)
 
 
 def main():
@@ -75,7 +115,9 @@ def main():
     )
     scalars = jnp.array([100.0, 1e-2, 0.0, 0.5, 0.1], dtype=jnp.float32)
     tx = scene.transmitters["tx"].xy
-    fast_t = time_fn(kernel, pixels, tx, arrays.phi, scalars)
+    fast_t = chained_map_time(
+        lambda p: kernel(p, tx, arrays.phi, scalars), pixels
+    )
     points_per_s = pixels.shape[0] / fast_t
 
     # --- fused value+grad kernel (in-kernel forward-mode tangents) --------
@@ -91,21 +133,24 @@ def main():
         mode="value_and_grad",
     )
     txs = tx[None, :]
-    vag_t = time_fn(
-        vag_run, pixels, txs, arrays.walls, arrays.kind, arrays.phi, scalars
+    vag_t = chained_map_time(
+        lambda p: vag_run(
+            p, txs, arrays.walls, arrays.kind, arrays.phi, scalars
+        ),
+        pixels,
     )
     grad_points_per_s = pixels.shape[0] / vag_t
 
     # --- XLA tracer (the differentiable path) ------------------------------
     xla = jax.jit(make_pixels_fn(scene, max_order=1, approx=True))
-    xla_t = time_fn(xla, pixels)
+    xla_t = chained_map_time(xla, pixels)
     xla_points_per_s = pixels.shape[0] / xla_t
 
     # --- XLA tracer value+grad (what the Pallas vag kernel replaces) ------
     xla_vag = jax.jit(
         make_pixels_fn(scene, max_order=1, approx=True, value_and_grad=True)
     )
-    xla_vag_t = time_fn(xla_vag, pixels)
+    xla_vag_t = chained_map_time(xla_vag, pixels)
     xla_grad_points_per_s = pixels.shape[0] / xla_vag_t
 
     # --- baseline: reference-structured per-pixel path --------------------
@@ -117,13 +162,20 @@ def main():
     def general_power(*args, **kwargs):  # distinct object: forces slow path
         return received_power(*args, **kwargs)
 
-    def baseline_fn():
-        return scene.accumulate_on_receivers_grid_over_paths(
-            Xb, Yb, fun=general_power, reduce_all=True, max_order=1, approx=True
+    baseline_jit = jax.jit(
+        lambda Xg_, Yg_: scene.accumulate_on_receivers_grid_over_paths(
+            Xg_, Yg_, fun=general_power, reduce_all=True, max_order=1,
+            approx=True,
         )
-
-    baseline_jit = jax.jit(baseline_fn)
-    base_t = time_fn(baseline_jit, warmup=1, iters=3)
+    )
+    pixels_b = jnp.stack([Xb.ravel(), Yb.ravel()], axis=-1)
+    base_t = chained_map_time(
+        lambda p: baseline_jit(
+            p[:, 0].reshape(nb, nb), p[:, 1].reshape(nb, nb)
+        ),
+        pixels_b,
+        k=5,
+    )
     base_points_per_s = (nb * nb) / base_t
 
     # --- grad check: tracer vs reference-structured path ------------------
@@ -266,12 +318,13 @@ def full_config_sweep() -> dict:
     # Config 2: 256x256 receiver grid, order-2 reflections, sigmoid.
     scene = Scene.basic_scene()
     X, Y = jnp.meshgrid(jnp.linspace(0.01, 0.99, 256), jnp.linspace(0.01, 0.99, 256))
-    t = time_fn(
-        lambda: power_map(
-            scene, X, Y, max_order=2, approx=True, function=sigmoid
+    t = chained_map_time(
+        lambda p: power_map(
+            scene, p[:, 0].reshape(256, 256), p[:, 1].reshape(256, 256),
+            max_order=2, approx=True, function=sigmoid,
         ),
-        warmup=1,
-        iters=3,
+        jnp.stack([X.ravel(), Y.ravel()], axis=-1),
+        k=5,
     )
     out["cfg2_256x256_order2_sigmoid_pts_per_s"] = round(256 * 256 / t, 1)
 
@@ -310,7 +363,7 @@ def full_config_sweep() -> dict:
         tx, state, v = mpt_step(tx, state, 50.0)
         return v
 
-    t = time_fn(opt_step, warmup=2, iters=5)
+    t = chained_step_time(opt_step)
     out["cfg3_mpt_tx_opt_s_per_step"] = round(t, 4)
 
     # Config 4: vertex diffraction on a GeoJSON street scene.
@@ -325,19 +378,19 @@ def full_config_sweep() -> dict:
         # Stable callable identity so the per-scene run cache hits.
         return isinstance(o, Vertex)
 
-    t = time_fn(
-        lambda: power_map(
+    t = chained_map_time(
+        lambda p: power_map(
             street,
-            Xv,
-            Yv,
+            p[:, 0].reshape(128, 128),
+            p[:, 1].reshape(128, 128),
             order=1,
             solver="fermat",
             approx=True,
             key=key,
             filter_objects=is_vertex,
         ),
-        warmup=1,
-        iters=3,
+        jnp.stack([Xv.ravel(), Yv.ravel()], axis=-1),
+        k=5,
     )
     out["cfg4_geojson_vertex_diffraction_pts_per_s"] = round(128 * 128 / t, 1)
 
@@ -348,10 +401,13 @@ def full_config_sweep() -> dict:
     Xc, Yc = jnp.meshgrid(
         jnp.linspace(0.01, 0.99, 256), jnp.linspace(0.01, 0.99, 256)
     )
-    t = time_fn(
-        lambda: power_map(city, Xc, Yc, max_order=1, approx=True),
-        warmup=1,
-        iters=3,
+    t = chained_map_time(
+        lambda p: power_map(
+            city, p[:, 0].reshape(256, 256), p[:, 1].reshape(256, 256),
+            max_order=1, approx=True,
+        ),
+        jnp.stack([Xc.ravel(), Yc.ravel()], axis=-1),
+        k=5,
     )
     out["cfg6_city_120walls_order1_pts_per_s"] = round(256 * 256 / t, 1)
 
@@ -395,7 +451,7 @@ def full_config_sweep() -> dict:
         phi, ris_state, v = ris_step(phi, ris_state)
         return v
 
-    t = time_fn(ris_step_fn, warmup=1, iters=3)
+    t = chained_step_time(ris_step_fn, k=5)
     out["cfg5_ris_phase_opt_s_per_step"] = round(t, 4)
 
     return out

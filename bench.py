@@ -366,6 +366,39 @@ def full_config_sweep() -> dict:
     t = chained_step_time(opt_step)
     out["cfg3_mpt_tx_opt_s_per_step"] = round(t, 4)
 
+    # Same step with implicit-function-theorem solver gradients
+    # (identical forward solve; no transposed 100-step scan in the
+    # backward -- see optimize._minimize_implicit).
+    def loss_implicit(tx_coords, alpha):
+        s = opt_scene.with_transmitters(tx=Point(xy=tx_coords))
+        return -s.accumulate_over_paths(
+            received_power,
+            reduce_all=True,
+            max_order=1,
+            approx=True,
+            alpha=alpha,
+            path_cls=MinPath,
+            path_cls_kwargs={"steps": 100, "implicit": True},
+            key=key,
+        )
+
+    @jax.jit
+    def mpt_step_implicit(tx, state, alpha):
+        v, g = jax.value_and_grad(loss_implicit)(tx, alpha)
+        updates, state = optimizer.update(g, state)
+        return tx + updates, state, v
+
+    tx_i = jnp.array([0.3, 0.6])
+    state_i = optimizer.init(tx_i)
+
+    def opt_step_implicit():
+        nonlocal tx_i, state_i
+        tx_i, state_i, v = mpt_step_implicit(tx_i, state_i, 50.0)
+        return v
+
+    t = chained_step_time(opt_step_implicit)
+    out["cfg3_mpt_tx_opt_implicit_s_per_step"] = round(t, 4)
+
     # Config 4: vertex diffraction on a GeoJSON street scene.
     street = Scene.from_geojson(STREET_GEOJSON)
     for obj in list(street.objects):

@@ -70,7 +70,14 @@ def pytree_dataclass(cls: type[T]) -> type[T]:
 
     def __post_init__(self):
         for name, conv in converters.items():
-            object.__setattr__(self, name, conv(getattr(self, name)))
+            val = getattr(self, name)
+            # JAX internals rebuild pytrees with bare ``object()``
+            # placeholders (e.g. symbolic-zero cotangents when a
+            # custom_vjp's bwd returns through tree_unflatten); leave
+            # them untouched for JAX to consume.
+            if type(val) is object:
+                continue
+            object.__setattr__(self, name, conv(val))
         if prev_post_init is not None:
             prev_post_init(self)
 

@@ -607,13 +607,20 @@ class FermatPath(Path):
 
         n_unknowns = sum(obj.parameters_count() for obj in objects)
 
-        def loss_fun(theta: jax.Array) -> jax.Array:
+        # Differentiable data (TX/RX and object parameters) rides in the
+        # explicit ``args`` tuple so minimize(implicit=True)'s custom_vjp
+        # never closes over a traced value.
+        def loss_fun(theta: jax.Array, p) -> jax.Array:
+            tx_, rx_, objs = p
             return _ops.path_length(
-                parametric_to_cartesian(objects, theta, n, tx, rx)
+                parametric_to_cartesian(objs, theta, n, tx_, rx_)
             )
 
         kwargs.setdefault("many", 1)
-        theta, _ = minimize_many_random_uniform(loss_fun, key, n_unknowns, **kwargs)
+        theta, _ = minimize_many_random_uniform(
+            loss_fun, key, n_unknowns,
+            args=((tx, rx, tuple(objects)),), **kwargs,
+        )
         xys = parametric_to_cartesian(objects, theta, n, tx, rx)
         return cls(xys=xys, loss=_interaction_loss(objects, xys))
 
@@ -644,14 +651,16 @@ class MinPath(Path):
 
         n_unknowns = sum(obj.parameters_count() for obj in objects)
 
-        def loss_fun(theta: jax.Array) -> jax.Array:
+        def loss_fun(theta: jax.Array, p) -> jax.Array:
+            tx_, rx_, objs = p
             return _interaction_loss(
-                objects, parametric_to_cartesian(objects, theta, n, tx, rx)
+                objs, parametric_to_cartesian(objs, theta, n, tx_, rx_)
             )
 
         kwargs.setdefault("many", 1)
         theta, loss = minimize_many_random_uniform(
-            loss_fun, key, n_unknowns, **kwargs
+            loss_fun, key, n_unknowns,
+            args=((tx, rx, tuple(objects)),), **kwargs,
         )
         xys = parametric_to_cartesian(objects, theta, n, tx, rx)
         return cls(xys=xys, loss=loss)

@@ -411,15 +411,20 @@ class Scene(Plottable):
         scene = cls.from_geojson(
             json.dumps({"type": "FeatureCollection", "features": features})
         )
-        # TX at the central street crossing, RX in the south-east street.
+        # TX at the central street crossing; RX east of it in the SAME
+        # street canyon, mid-block (NOT at a crossing -- a crossing-
+        # symmetric pair puts every specular point in a street gap), so
+        # LOS and order-1 canyon-wall reflections exist. TX/RX in
+        # different streets have no valid paths below order 3
+        # (building-blocked), which would make every P2P workflow on the
+        # default scene degenerate.
         cross_x = margin + (nx // 2) * (bw + street) - street / 2.0
         cross_y = margin + (ny // 2) * (bh + street) - street / 2.0
         scene = scene.with_transmitters(
             tx=Point(xy=jnp.array([cross_x, cross_y]))
         )
-        rx_x = margin + (nx - 1) * (bw + street) - street / 2.0
-        rx_y = margin + bh + street / 2.0
-        return scene.with_receivers(rx=Point(xy=jnp.array([rx_x, rx_y])))
+        rx_x = margin + (nx // 2 + 1) * (bw + street) + bw / 2.0
+        return scene.with_receivers(rx=Point(xy=jnp.array([rx_x, cross_y])))
 
     # -- plotting / extents (reference scene.py:937-1070) -------------------
 

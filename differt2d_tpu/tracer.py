@@ -212,6 +212,7 @@ def _solve_opt(
     objective: str,
     steps: int,
     many: int,
+    implicit: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Fermat ('fermat') or MPT ('mpt') solve, vmapped over candidates.
 
@@ -220,30 +221,46 @@ def _solve_opt(
     ``geometry.py:1274-1280``. Returns ``(points[C, o, 2], loss[C])``
     where ``loss`` matches the reference's convention: final objective for
     MPT, residual-at-solution for Fermat.
+
+    ``implicit=True`` switches the solver's *gradients* to the
+    implicit-function theorem at the solution (identical forward solve;
+    see :func:`differt2d_tpu.optimize.minimize`).
     """
     C, o = cw.shape[0], cw.shape[1]
     if o == 0:
         return jnp.zeros((C, 0, 2)), jnp.zeros(C)
 
-    def assemble(theta, cw_c, ckind_c):
+    def assemble(theta, cw_c, ckind_c, tx_=None, rx_=None):
+        tx_ = tx if tx_ is None else tx_
+        rx_ = rx if rx_ is None else rx_
         pts = _theta_to_points(theta, cw_c, ckind_c)
-        return jnp.concatenate([tx[None, :], pts, rx[None, :]], axis=0)
+        return jnp.concatenate([tx_[None, :], pts, rx_[None, :]], axis=0)
 
     def solve_one(key, cw_c, ckind_c, cphi_c):
-        def fermat_objective(theta):
-            return _ops.path_length(assemble(theta, cw_c, ckind_c))
+        # Differentiable data rides in ``p`` so the implicit-diff
+        # custom_vjp sees it as an argument, never a closed-over tracer.
+        p0 = (tx, rx, cw_c, ckind_c, cphi_c)
 
-        def mpt_objective(theta):
-            full = assemble(theta, cw_c, ckind_c)
+        def fermat_objective(theta, p):
+            tx_, rx_, cw_p, ckind_p, _ = p
+            return _ops.path_length(
+                assemble(theta, cw_p, ckind_p, tx_, rx_)
+            )
+
+        def mpt_objective(theta, p):
+            tx_, rx_, cw_p, ckind_p, cphi_p = p
+            full = assemble(theta, cw_p, ckind_p, tx_, rx_)
             return _bounce_residuals(
-                full[None], cw_c[None], ckind_c[None], cphi_c[None]
+                full[None], cw_p[None], ckind_p[None], cphi_p[None]
             )[0]
 
         fun = fermat_objective if objective == "fermat" else mpt_objective
 
         def run(k):
             x0 = jax.random.uniform(k, shape=(o,))
-            return minimize(fun, x0, steps=steps)
+            return minimize(
+                fun, x0, args=(p0,), steps=steps, implicit=implicit
+            )
 
         if many == 1:
             theta, last = run(key)
@@ -384,6 +401,7 @@ def _accumulate_pixel(
     steps: int,
     many: int,
     power_fun: Callable[[jax.Array, int], jax.Array],
+    implicit: bool = False,
 ) -> jax.Array:
     """Scalar accumulation for one pixel: sum over orders and candidates of
     ``valid * power``. The vectorized twin of reference
@@ -397,6 +415,7 @@ def _accumulate_pixel(
             tx, rx, arrays, order, cand_np, group_keys[order],
             solver=solver, approx=approx, alpha=alpha, function=function,
             tol=tol, patch=patch, steps=steps, many=many,
+            implicit=implicit,
         )
         power = power_fun(pts_full, order)
         acc = acc + jnp.sum(valid * power)
@@ -419,6 +438,7 @@ def _trace_group(
     patch,
     steps: int,
     many: int,
+    implicit: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Solve + validate one order group of candidates.
 
@@ -458,7 +478,7 @@ def _trace_group(
             raise ValueError(msg)
         pts, loss = _solve_opt(
             tx, rx, cw, ckind, cphi, keys,
-            objective=solver, steps=steps, many=many,
+            objective=solver, steps=steps, many=many, implicit=implicit,
         )
 
     pts_full = jnp.concatenate(
@@ -494,6 +514,7 @@ def make_pixels_fn(
     height=DEFAULT_HEIGHT,
     steps: int = 100,
     many: int = 1,
+    solver_grad: str = "unroll",
     key: Optional[jax.Array] = None,
     filter_objects=None,
     on_transmitters: bool = False,
@@ -575,6 +596,7 @@ def make_pixels_fn(
             steps=steps,
             many=many,
             power_fun=power_fun,
+            implicit=solver_grad == "implicit",
         )
 
     # Gradients w.r.t. the pixel coordinate are 2-dimensional, so

@@ -880,6 +880,18 @@ def power_map(
 
     :return: ``[m, n]`` map (or ``[m, n, 2]`` grad / (value, grad) tuple).
     """
+    # Boundary validation (the reference wraps every public function in
+    # jaxtyped/beartype, reference ``logic.py:219-220``; this framework
+    # validates at the API boundary instead of per-helper):
+    X = jnp.asarray(X)
+    Y = jnp.asarray(Y)
+    if X.shape != Y.shape:
+        msg = f"X and Y must have the same shape, got {X.shape} vs {Y.shape}"
+        raise TypeError(msg)
+    if X.ndim != 2:
+        msg = f"X and Y must be 2-D grids, got ndim={X.ndim}"
+        raise TypeError(msg)
+
     # Resolve the approx tri-state NOW (not at trace time inside
     # make_pixels_fn): the run cache below keys on kwargs, so an
     # unresolved None would let a map traced under one global logic mode

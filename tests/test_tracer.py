@@ -265,3 +265,13 @@ def test_forced_pallas_rejects_traced_scene(grids):
     walls0 = jnp.stack([o.xys for o in scene.objects])
     with pytest.raises(ValueError, match="concrete scene"):
         jax.grad(objective)(walls0)
+
+
+def test_power_map_validates_grid_shapes():
+    """Boundary validation mirrors the reference's TypeCheckError posture
+    (reference tests/test_logic.py:92-94)."""
+    scene = Scene.basic_scene()
+    with pytest.raises(TypeError, match="same shape"):
+        tracer.power_map(scene, jnp.zeros((3, 4)), jnp.zeros((4, 3)))
+    with pytest.raises(TypeError, match="2-D"):
+        tracer.power_map(scene, jnp.zeros(5), jnp.zeros(5))

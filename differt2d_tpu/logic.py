@@ -43,6 +43,8 @@ __all__ = (
     "logical_or",
     "set_approx",
     "sigmoid",
+    "true_value",
+    "false_value",
 )
 
 import os

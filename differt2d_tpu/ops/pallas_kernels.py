@@ -81,9 +81,17 @@ def _norm2(x, y):
 
 
 def _normalize(x, y):
-    n = _norm2(x, y)
-    safe = jnp.where(n == 0.0, 1.0, n)
-    return x / safe, y / safe
+    # Guard the *input* of sqrt (double-where), not just its output:
+    # reverse mode multiplies the zero cotangent routed around the
+    # degenerate branch by sqrt'(0) = inf, and 0 * inf = NaN.  Forward
+    # mode never forms that product, which is why the double-jvp path
+    # tolerated the single guard.  Values are unchanged: both versions
+    # return (0, 0) for the zero vector.
+    n2 = x * x + y * y
+    zero = n2 == 0.0
+    inv = 1.0 / jnp.sqrt(jnp.where(zero, 1.0, n2))
+    inv = jnp.where(zero, 1.0, inv)
+    return x * inv, y * inv
 
 
 def build_power_map_kernel(
@@ -400,6 +408,7 @@ def build_power_map_kernel_looped(
     interpret: bool = False,
     mode: str = "value",
     block_rows: int = 32,
+    tangent_impl: str = "vjp",
 ):
     """Looped variant of :func:`build_power_map_kernel` for large
     candidate sets.
@@ -473,13 +482,17 @@ def build_power_map_kernel_looped(
                 aux_ref[base + 3],
             )
 
-        def pixel_body(px, py):
-            def group_sum(order, cand_ref, count, acc0):
-                """Accumulate all candidates of one order via fori_loop."""
+        def make_cand_contrib(order, cand_ref, img_ref):
+            """Build ``contrib(c, px, py) -> valid * power`` for one
+            order group.
 
-                img_ref = img_ref_by_order[order]
+            A single candidate's contribution is straight-line in
+            ``px, py`` (no internal loops), so reverse mode through it
+            needs no residual stacking -- the property
+            ``pixel_body_vag`` exploits for in-kernel gradients.
+            """
 
-                def body(c, acc):
+            def contrib(c, px, py):
                     idx = [cand_ref[c * order + j] for j in range(order)]
                     wall_vals = [read_wall(i) for i in idx]
                     kinds = [kind_ref[i] for i in idx]
@@ -611,16 +624,11 @@ def build_power_map_kernel_looped(
                         dy_ = path_y[s + 1] - path_y[s] + eps
                         r = r + _norm2(dx_, dy_)
                     power = (r_coef**order) / (height * height + r * r)
-                    return acc + valid * power
+                    return valid * power
 
-                return jax.lax.fori_loop(0, count, body, acc0)
+            return contrib
 
-            acc = jnp.zeros_like(px)
-            for g, order in enumerate(group_orders):
-                count = group_counts[g]
-                if count == 0:
-                    continue
-                if order == 0:
+        def los_contrib(px, py):
                     # LOS: no bounce, direct blocked test.
                     if soft_mode:
                         blk = jnp.zeros_like(px)
@@ -648,24 +656,82 @@ def build_power_map_kernel_looped(
                     dx_ = px - txx + eps
                     dy_ = py - txy + eps
                     r = _norm2(dx_, dy_)
-                    acc = acc + valid * (1.0 / (height * height + r * r))
+                    return valid * (1.0 / (height * height + r * r))
+
+        contribs = {
+            o: make_cand_contrib(o, cand_ref_by_order[o], img_ref_by_order[o])
+            for o in cand_orders
+        }
+
+        def pixel_body(px, py):
+            acc = jnp.zeros_like(px)
+            for g, order in enumerate(group_orders):
+                count = group_counts[g]
+                if count == 0:
+                    continue
+                if order == 0:
+                    acc = acc + los_contrib(px, py)
                 else:
-                    acc = group_sum(order, cand_ref_by_order[order], count, acc)
+                    contrib = contribs[order]
+
+                    def body(c, a, _f=contrib):
+                        return a + _f(c, px, py)
+
+                    acc = jax.lax.fori_loop(0, count, body, acc)
             return acc
+
+        def pixel_body_vag(px, py):
+            """Value plus both pixel partials.
+
+            One reverse sweep per candidate: ``jax.vjp`` of the
+            straight-line contribution yields d/dx and d/dy together
+            for ~one forward + one backward pass, where the double-jvp
+            fallback pays (primal + tangent) twice.  Applying vjp
+            *inside* the ``fori_loop`` body keeps the transposition
+            loop-free -- Mosaic cannot lower reverse mode over the loop
+            itself (the residual-stacking scan fails to legalize with a
+            foreach arity error; measured 2026-08).
+            """
+            ones = jnp.ones_like(px)
+            v = jnp.zeros_like(px)
+            gx = jnp.zeros_like(px)
+            gy = jnp.zeros_like(px)
+            for g, order in enumerate(group_orders):
+                count = group_counts[g]
+                if count == 0:
+                    continue
+                if order == 0:
+                    val, pull = jax.vjp(los_contrib, px, py)
+                    dx, dy = pull(ones)
+                    v, gx, gy = v + val, gx + dx, gy + dy
+                else:
+                    contrib = contribs[order]
+
+                    def body(c, carry, _f=contrib):
+                        vv, ax, ay = carry
+                        val, pull = jax.vjp(
+                            lambda a, b: _f(c, a, b), px, py
+                        )
+                        dx, dy = pull(ones)
+                        return (vv + val, ax + dx, ay + dy)
+
+                    v, gx, gy = jax.lax.fori_loop(
+                        0, count, body, (v, gx, gy)
+                    )
+            return v, gx, gy
 
         if with_grad:
             val_ref, dx_ref, dy_ref = out_refs
-            # Forward-mode pixel tangents computed inside the kernel --
-            # jax.jvp traces dual arithmetic through the fori_loops, so
-            # the gradient map shares the candidate loop, SMEM reads and
-            # VMEM tiles with the value pass. (Reverse mode would get
-            # both partials in one transpose sweep, but Mosaic cannot
-            # lower the transposed residual-reading scan -- fails with
-            # a foreach arity error in jaxpr_subcomp; measured 2026-08.)
-            ones = jnp.ones_like(px)
-            zeros = jnp.zeros_like(px)
-            val, dx = jax.jvp(pixel_body, (px, py), (ones, zeros))
-            _, dy = jax.jvp(pixel_body, (px, py), (zeros, ones))
+            if tangent_impl == "vjp":
+                val, dx, dy = pixel_body_vag(px, py)
+            else:
+                # Double-jvp fallback (A/B verification): forward-mode
+                # tangents traced through the fori_loops; pays
+                # (primal + tangent) once per direction.
+                ones = jnp.ones_like(px)
+                zeros = jnp.zeros_like(px)
+                val, dx = jax.jvp(pixel_body, (px, py), (ones, zeros))
+                _, dy = jax.jvp(pixel_body, (px, py), (zeros, ones))
             val_ref[:] = val
             dx_ref[:] = dx
             dy_ref[:] = dy
@@ -858,6 +924,47 @@ import collections
 _KERNEL_CACHE: "collections.OrderedDict" = collections.OrderedDict()
 _KERNEL_CACHE_MAX = 64
 
+_ENTRY_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+
+
+def _get_entry(run, grad, value_and_grad, scalars_tuple):
+    """Cached jitted ``(X, Y, tx_xys, walls, kind, phi) -> map`` entry.
+
+    Wraps a :func:`get_fused_run` callable so that pixel stacking, TX
+    stacking, the scalars constant and the output reshapes all happen
+    inside ONE jitted dispatch.  Repeat ``power_map`` calls otherwise
+    pay ~8 small eager ops of tunnel latency each (~2-3 ms/call on the
+    remote-TPU link -- dominant at small grids; measured round 2).
+
+    Keyed by ``id(run)`` with the run object held strongly in the value
+    (ids are only unique while the object is alive) plus the scalar
+    config baked into the trace.
+    """
+    key = (id(run), bool(grad), bool(value_and_grad), scalars_tuple)
+    hit = _ENTRY_CACHE.get(key)
+    if hit is not None and hit[0] is run:
+        _ENTRY_CACHE.move_to_end(key)
+        return hit[1]
+    scal = np.asarray(scalars_tuple, dtype=np.float32)
+    want_grad = grad or value_and_grad
+
+    @jax.jit
+    def entry(X, Y, tx_xys, walls, kind, phi):
+        pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+        txs = jnp.stack(tx_xys)
+        out = run(pixels, txs, walls, kind, phi, jnp.asarray(scal))
+        if want_grad:
+            val, dval = out
+            val = val.reshape(X.shape)
+            dval = dval.reshape(*X.shape, 2)
+            return (val, dval) if value_and_grad else dval
+        return out.reshape(X.shape)
+
+    _ENTRY_CACHE[key] = (run, entry)
+    while len(_ENTRY_CACHE) > _KERNEL_CACHE_MAX:
+        _ENTRY_CACHE.popitem(last=False)
+    return entry
+
 
 def pallas_power_map(
     scene,
@@ -920,10 +1027,6 @@ def pallas_power_map(
         filter_nodes=filter_nodes,
     )
 
-    pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
-    scalars = jnp.array([alpha, tol, patch, r_coef, height], dtype=jnp.float32)
-    txs = jnp.stack([tx.xy for tx in scene.transmitters.values()])
-
     want_grad = grad or value_and_grad
     if want_grad and solver != "image":
         msg = (
@@ -933,6 +1036,11 @@ def pallas_power_map(
         raise ValueError(msg)
 
     if solver in ("fermat", "mpt"):
+        pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+        scalars = jnp.array(
+            [alpha, tol, patch, r_coef, height], dtype=jnp.float32
+        )
+        txs = jnp.stack([tx.xy for tx in scene.transmitters.values()])
         return _opt_solver_map(
             scene, arrays, groups, pixels, txs, scalars,
             solver=solver, steps=steps, key=key,
@@ -951,13 +1059,11 @@ def pallas_power_map(
         interpret=interpret,
         mode="value_and_grad" if want_grad else "value",
     )
-    out = run(pixels, txs, arrays.walls, arrays.kind, arrays.phi, scalars)
-    if want_grad:
-        val, dval = out
-        if value_and_grad:
-            return val.reshape(X.shape), dval.reshape(*X.shape, 2)
-        return dval.reshape(*X.shape, 2)
-    return out.reshape(X.shape)
+    entry = _get_entry(
+        run, grad, value_and_grad, (alpha, tol, patch, r_coef, height)
+    )
+    tx_xys = tuple(tx.xy for tx in scene.transmitters.values())
+    return entry(X, Y, tx_xys, arrays.walls, arrays.kind, arrays.phi)
 
 
 def _opt_solver_map(

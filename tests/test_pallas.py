@@ -317,3 +317,37 @@ def test_multiple_transmitters(grids):
     ref = tracer.power_map(scene, X, Y, max_order=1, approx=True, backend="xla")
     pal = pallas_power_map(scene, X, Y, max_order=1, approx=True, interpret=True)
     chex.assert_trees_all_close(ref, pal, **TOL)
+
+
+def test_vag_reverse_equals_forward_tangents():
+    """The per-candidate reverse sweep (``tangent_impl='vjp'``, default)
+    must agree with the double-jvp fallback, including on grids where
+    order-2 candidates hit the parallel-ray (``un == 0``) degeneracy:
+    reverse mode once formed ``0 * inf = NaN`` through the single-where
+    sqrt guard in ``_normalize`` (fixed by guarding the sqrt input)."""
+    from differt2d_tpu.ops.pallas_kernels import build_power_map_kernel_looped
+    from differt2d_tpu.rt import path_candidate_matrices
+    from differt2d_tpu.tracer import scene_arrays
+
+    scene = Scene.basic_scene()
+    arrays = scene_arrays(scene)
+    groups = path_candidate_matrices(arrays.num_objects, 0, 2)
+    X, Y = jnp.meshgrid(
+        jnp.linspace(0.05, 0.95, 16), jnp.linspace(0.07, 0.93, 12)
+    )
+    pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+    scalars = jnp.array([100.0, 1e-2, 0.0, 0.5, 0.1], dtype=jnp.float32)
+    tx = scene.transmitters["tx"].xy
+    W = int(arrays.walls.shape[0])
+    outs = {}
+    for impl in ("vjp", "jvp2"):
+        run = build_power_map_kernel_looped(
+            W, groups, approx=True, sigmoid=True, interpret=True,
+            mode="value_and_grad", tangent_impl=impl,
+        )
+        outs[impl] = run(
+            pixels, tx, arrays.walls, arrays.kind, arrays.phi, scalars
+        )
+    for part in outs["vjp"]:
+        assert np.isfinite(np.asarray(part)).all()
+    chex.assert_trees_all_close(outs["vjp"], outs["jvp2"], rtol=1e-4, atol=1e-4)

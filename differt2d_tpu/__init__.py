@@ -22,6 +22,11 @@ Layers:
 __version__ = "0.2.0"
 
 from . import logic, ops, rt  # noqa: F401
+from ._runtime_typing import (  # noqa: F401
+    TypeCheckError,
+    no_typecheck,
+    set_typecheck,
+)
 from .geometry import (  # noqa: F401
     FermatPath,
     ImagePath,

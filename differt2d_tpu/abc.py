@@ -21,6 +21,7 @@ from typing import Any, Literal, Optional
 import jax
 import jax.numpy as jnp
 
+from ._runtime_typing import literal_spec, typecheck
 from ._typing import ScalarFloat
 from .defaults import DEFAULT_PATCH
 from .logic import Truthy
@@ -60,9 +61,14 @@ class Plottable(ABC):
         bb = self.bounding_box()
         return 0.5 * (bb[0, :] + bb[1, :])
 
+    @typecheck(
+        location=literal_spec("N", "E", "S", "W", "C", "NE", "NW", "SE", "SW")
+    )
     def get_location(self, location: Loc) -> jax.Array:
         """Compass-anchor coordinates within this object's extents.
 
+        Raises :class:`~differt2d_tpu._runtime_typing.TypeCheckError` on an
+        invalid literal (reference ``tests/test_abc.py:85-86``).
         Reference ``abc.py:99-126``.
         """
         (xmin, ymin), (xmax, ymax) = self.bounding_box()

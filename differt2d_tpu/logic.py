@@ -56,6 +56,14 @@ from typing import Any, Callable, Optional, Union
 import jax
 import jax.numpy as jnp
 
+from ._runtime_typing import (
+    BOOL_ARRAY,
+    FLOAT_LIKE,
+    OPT_BOOL,
+    SCALAR_FLOAT,
+    TRUTHY,
+    typecheck,
+)
 from ._typing import ArrayLikeFloat, ScalarFloat
 from .defaults import DEFAULT_ALPHA
 
@@ -102,6 +110,7 @@ def disable_approx(disable: bool = True):
         yield
 
 
+@typecheck(x=FLOAT_LIKE, alpha=SCALAR_FLOAT)
 @partial(jax.jit, inline=True)
 def sigmoid(x: ArrayLikeFloat, alpha: ScalarFloat) -> jax.Array:
     r"""Slope-``alpha`` sigmoid: ``1 / (1 + exp(-alpha * x))``.
@@ -111,6 +120,7 @@ def sigmoid(x: ArrayLikeFloat, alpha: ScalarFloat) -> jax.Array:
     return jax.nn.sigmoid(alpha * x)
 
 
+@typecheck(x=FLOAT_LIKE, alpha=SCALAR_FLOAT)
 @partial(jax.jit, inline=True)
 def hard_sigmoid(x: ArrayLikeFloat, alpha: ScalarFloat) -> jax.Array:
     r"""Slope-``alpha`` hard sigmoid: ``relu6(alpha * x + 3) / 6``.
@@ -122,6 +132,7 @@ def hard_sigmoid(x: ArrayLikeFloat, alpha: ScalarFloat) -> jax.Array:
     return jax.nn.hard_sigmoid(alpha * x)
 
 
+@typecheck(x=FLOAT_LIKE, alpha=SCALAR_FLOAT)
 @partial(jax.jit, inline=True, static_argnames=("function",))
 def activation(
     x: ArrayLikeFloat,
@@ -140,6 +151,7 @@ def _resolve(approx: Optional[bool]) -> bool:
     return ENABLE_APPROX if approx is None else approx
 
 
+@typecheck(x=TRUTHY, y=TRUTHY, approx=OPT_BOOL)
 @partial(jax.jit, inline=True, static_argnames=("approx",))
 def logical_or(
     x: Union[Truthy, float, bool],
@@ -153,6 +165,7 @@ def logical_or(
     return jnp.maximum(x, y) if _resolve(approx) else jnp.logical_or(x, y)
 
 
+@typecheck(x=TRUTHY, y=TRUTHY, approx=OPT_BOOL)
 @partial(jax.jit, inline=True, static_argnames=("approx",))
 def logical_and(
     x: Union[Truthy, float, bool],
@@ -166,6 +179,7 @@ def logical_and(
     return jnp.minimum(x, y) if _resolve(approx) else jnp.logical_and(x, y)
 
 
+@typecheck(x=TRUTHY, approx=OPT_BOOL)
 @partial(jax.jit, inline=True, static_argnames=("approx",))
 def logical_not(
     x: Union[Truthy, float, bool], approx: Optional[bool] = None
@@ -177,6 +191,7 @@ def logical_not(
     return jnp.subtract(1.0, x) if _resolve(approx) else jnp.logical_not(x)
 
 
+@typecheck(x=FLOAT_LIKE, y=FLOAT_LIKE, approx=OPT_BOOL)
 @partial(jax.jit, inline=True, static_argnames=("approx", "function"))
 def greater(
     x: ArrayLikeFloat,
@@ -193,6 +208,7 @@ def greater(
     return jnp.greater(x, y)
 
 
+@typecheck(x=FLOAT_LIKE, y=FLOAT_LIKE, approx=OPT_BOOL)
 @partial(jax.jit, inline=True, static_argnames=("approx", "function"))
 def greater_equal(
     x: ArrayLikeFloat,
@@ -209,6 +225,7 @@ def greater_equal(
     return jnp.greater_equal(x, y)
 
 
+@typecheck(x=FLOAT_LIKE, y=FLOAT_LIKE, approx=OPT_BOOL)
 @partial(jax.jit, inline=True, static_argnames=("approx", "function"))
 def less(
     x: ArrayLikeFloat,
@@ -225,6 +242,7 @@ def less(
     return jnp.less(x, y)
 
 
+@typecheck(x=FLOAT_LIKE, y=FLOAT_LIKE, approx=OPT_BOOL)
 @partial(jax.jit, inline=True, static_argnames=("approx", "function"))
 def less_equal(
     x: ArrayLikeFloat,
@@ -241,6 +259,7 @@ def less_equal(
     return jnp.less_equal(x, y)
 
 
+@typecheck(approx=OPT_BOOL)
 @partial(jax.jit, inline=True, static_argnames=("axis", "approx"))
 def logical_all(
     *x: Union[Truthy, float, bool],
@@ -255,6 +274,7 @@ def logical_all(
     return jnp.min(arr, axis=axis) if _resolve(approx) else jnp.all(arr, axis=axis)
 
 
+@typecheck(approx=OPT_BOOL)
 @partial(jax.jit, inline=True, static_argnames=("axis", "approx"))
 def logical_any(
     *x: Union[Truthy, float, bool],
@@ -269,6 +289,7 @@ def logical_any(
     return jnp.max(arr, axis=axis) if _resolve(approx) else jnp.any(arr, axis=axis)
 
 
+@typecheck(x=TRUTHY, tol=SCALAR_FLOAT, approx=OPT_BOOL, ret=BOOL_ARRAY)
 @partial(jax.jit, inline=True, static_argnames=("approx",))
 def is_true(
     x: Union[Truthy, float, bool],
@@ -282,6 +303,7 @@ def is_true(
     return jnp.greater(x, 1.0 - tol) if _resolve(approx) else jnp.asarray(x)
 
 
+@typecheck(x=TRUTHY, tol=SCALAR_FLOAT, approx=OPT_BOOL, ret=BOOL_ARRAY)
 @partial(jax.jit, inline=True, static_argnames=("approx",))
 def is_false(
     x: Union[Truthy, float, bool],
@@ -295,12 +317,14 @@ def is_false(
     return jnp.less(x, tol) if _resolve(approx) else jnp.logical_not(x)
 
 
+@typecheck(approx=OPT_BOOL)
 @partial(jax.jit, inline=False, static_argnames=("approx",))
 def true_value(approx: Optional[bool] = None) -> Truthy:
     """Scalar true: ``1.0`` soft, ``True`` hard (reference ``logic.py:590-601``)."""
     return jnp.array(1.0) if _resolve(approx) else jnp.array(True, dtype=bool)
 
 
+@typecheck(approx=OPT_BOOL)
 @partial(jax.jit, inline=False, static_argnames=("approx",))
 def false_value(approx: Optional[bool] = None) -> Truthy:
     """Scalar false: ``0.0`` soft, ``False`` hard (reference ``logic.py:604-617``)."""

@@ -46,7 +46,11 @@ class TestPlottableHelpers:
         chex.assert_trees_all_close(ray.get_location(loc), jnp.array(expected))
 
     def test_get_location_invalid(self):
-        with pytest.raises(KeyError):
+        # Reference raises TypeCheckError on an invalid Loc literal
+        # (reference ``tests/test_abc.py:85-86``).
+        from differt2d_tpu import TypeCheckError
+
+        with pytest.raises(TypeCheckError):
             Point().get_location("X")
 
 

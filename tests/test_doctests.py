@@ -6,6 +6,7 @@ import doctest
 
 import pytest
 
+import differt2d_tpu._runtime_typing
 import differt2d_tpu.geometry
 import differt2d_tpu.logic
 import differt2d_tpu.optimize
@@ -19,6 +20,7 @@ import differt2d_tpu.utils
 @pytest.mark.parametrize(
     "module",
     [
+        differt2d_tpu._runtime_typing,
         differt2d_tpu.geometry,
         differt2d_tpu.logic,
         differt2d_tpu.optimize,

@@ -109,8 +109,9 @@ def build_power_map_kernel(
     ``scalars = jnp.array([alpha, tol, patch, r_coef, height])`` are
     runtime-tunable; walls / kinds / candidates are baked into the kernel.
 
-    ``mode="value_and_grad"`` additionally accumulates the two
-    forward-mode pixel tangents IN the kernel (the same two
+    ``mode="value_and_grad"`` additionally accumulates both pixel
+    partials IN the kernel (one reverse sweep per straight-line
+    candidate contribution -- numerically equivalent to the two
     ``jax.jvp`` passes the XLA tracer runs, reference
     ``scene.py:1920-1930``, fused into one VMEM-resident pass) and
     returns ``(value[P], grad[P, 2])``.
@@ -173,38 +174,38 @@ def build_power_map_kernel(
                 out = jnp.minimum(out, v) if soft_mode else (out & v)
             return out
 
-        def body(px, py):
-            def segment_blocked(sax, say, sbx, sby, skip):
-                """Max/any over walls (minus ``skip``) of intersection with
-                the segment; wall endpoints grown by ``patch`` (reference
-                geometry.py:625-639)."""
-                acc = (
-                    jnp.zeros_like(px)
-                    if soft_mode
-                    else jnp.zeros_like(px, dtype=jnp.bool_)
+        def segment_blocked(ref, sax, say, sbx, sby, skip):
+            """Max/any over walls (minus ``skip``) of intersection with
+            the segment; wall endpoints grown by ``patch`` (reference
+            geometry.py:625-639).  ``ref`` supplies the tile shape."""
+            acc = (
+                jnp.zeros_like(ref)
+                if soft_mode
+                else jnp.zeros_like(ref, dtype=jnp.bool_)
+            )
+            for w in range(W):
+                if w in skip or kinds_c[w] == KIND_VERTEX:
+                    continue
+                axw, ayw, bxw, byw = wall_scalars(w)
+                tx_, ty_ = bxw - axw, byw - ayw
+                wa_x = axw - patch * tx_
+                wa_y = ayw - patch * ty_
+                wb_x = bxw + patch * tx_
+                wb_y = byw + patch * ty_
+                hit = _seg_intersect(
+                    wa_x, wa_y, wb_x, wb_y, sax, say, sbx, sby,
+                    soft_mode, alpha,
                 )
-                for w in range(W):
-                    if w in skip or kinds_c[w] == KIND_VERTEX:
-                        continue
-                    axw, ayw, bxw, byw = wall_scalars(w)
-                    tx_, ty_ = bxw - axw, byw - ayw
-                    wa_x = axw - patch * tx_
-                    wa_y = ayw - patch * ty_
-                    wb_x = bxw + patch * tx_
-                    wb_y = byw + patch * ty_
-                    hit = _seg_intersect(
-                        wa_x, wa_y, wb_x, wb_y, sax, say, sbx, sby,
-                        soft_mode, alpha,
-                    )
-                    acc = blocked_combine(acc, hit)
-                return acc
+                acc = blocked_combine(acc, hit)
+            return acc
 
-            acc = jnp.zeros_like(px)
-            for order in sorted(groups):
-                cands = groups[order]
-                for c in range(cands.shape[0]):
-                    cand = [int(v) for v in cands[c]]
+        def make_contrib(order, cand):
+            """``contrib(px, py) -> valid * power`` for ONE candidate whose
+            wall indices are compile-time constants.  Straight-line in
+            ``px, py``, so per-candidate reverse mode (the vag path below)
+            transposes without residual stacking."""
 
+            def contrib(px, py):
                     # --- image-method solve (forward scalar mirrors, backward
                     # elementwise intersections; reference geometry.py:1086-1110)
                     images = []
@@ -299,6 +300,7 @@ def build_power_map_kernel(
                         blk = blocked_combine(
                             blk,
                             segment_blocked(
+                                px,
                                 path_x[s], path_y[s],
                                 path_x[s + 1], path_y[s + 1],
                                 skip,
@@ -320,22 +322,45 @@ def build_power_map_kernel(
                         dy_ = path_y[s + 1] - path_y[s] + eps
                         r = r + _norm2(dx_, dy_)
                     power = (r_coef**order) / (height * height + r * r)
-                    acc = acc + valid * power
+                    return valid * power
 
+            return contrib
+
+        contribs = []
+        for order in sorted(groups):
+            cands = groups[order]
+            for c in range(cands.shape[0]):
+                contribs.append(
+                    make_contrib(order, [int(v) for v in cands[c]])
+                )
+
+        def body(px, py):
+            acc = jnp.zeros_like(px)
+            for f in contribs:
+                acc = acc + f(px, py)
             return acc
 
-        ones = jnp.ones_like(px)
-        zeros = jnp.zeros_like(px)
         if with_grad:
             val_ref, dx_ref, dy_ref = out_refs
-            # Two forward-mode tangents, exactly as the XLA tracer's
-            # pixel-gradient path (tracer.make_pixels_fn): same primitive
-            # JVP rules, fused into the same VMEM-resident pass.
-            val, dx = jax.jvp(body, (px, py), (ones, zeros))
-            _, dy = jax.jvp(body, (px, py), (zeros, ones))
-            val_ref[:] = val
-            dx_ref[:] = dx
-            dy_ref[:] = dy
+            # One reverse sweep per candidate (same scheme as the looped
+            # kernel's ``pixel_body_vag``): each candidate contribution is
+            # straight-line, so ``jax.vjp`` yields d/dx and d/dy together
+            # for ~one forward + one backward pass.  Per-candidate (rather
+            # than whole-body) reverse keeps the transposed program linear
+            # in the candidate count; the old double-jvp of the full body
+            # tripled the instruction stream and blew Mosaic compile times
+            # past 9 minutes at 8 candidates.
+            ones = jnp.ones_like(px)
+            v = jnp.zeros_like(px)
+            gx = jnp.zeros_like(px)
+            gy = jnp.zeros_like(px)
+            for f in contribs:
+                val, pull = jax.vjp(f, px, py)
+                dx, dy = pull(ones)
+                v, gx, gy = v + val, gx + dx, gy + dy
+            val_ref[:] = v
+            dx_ref[:] = gx
+            dy_ref[:] = gy
         else:
             (out_ref,) = out_refs
             out_ref[:] = body(px, py)
@@ -409,6 +434,7 @@ def build_power_map_kernel_looped(
     mode: str = "value",
     block_rows: int = 32,
     tangent_impl: str = "vjp",
+    cand_block: int = 1,
 ):
     """Looped variant of :func:`build_power_map_kernel` for large
     candidate sets.
@@ -673,11 +699,22 @@ def build_power_map_kernel_looped(
                     acc = acc + los_contrib(px, py)
                 else:
                     contrib = contribs[order]
+                    # Process ``cand_block`` candidates per fori step:
+                    # unrolling across candidates gives the scheduler
+                    # independent scalar/vector chains to overlap (one
+                    # candidate's SMEM reads hide under another's vector
+                    # work).  Accumulation order is unchanged.
+                    B = max(1, min(cand_block, count))
+                    nb = count // B
 
-                    def body(c, a, _f=contrib):
-                        return a + _f(c, px, py)
+                    def body(i, a, _f=contrib, _B=B):
+                        for b in range(_B):
+                            a = a + _f(i * _B + b, px, py)
+                        return a
 
-                    acc = jax.lax.fori_loop(0, count, body, acc)
+                    acc = jax.lax.fori_loop(0, nb, body, acc)
+                    for c in range(nb * B, count):
+                        acc = acc + contrib(c, px, py)
             return acc
 
         def pixel_body_vag(px, py):
@@ -706,18 +743,29 @@ def build_power_map_kernel_looped(
                     v, gx, gy = v + val, gx + dx, gy + dy
                 else:
                     contrib = contribs[order]
+                    B = max(1, min(cand_block, count))
+                    nb = count // B
 
-                    def body(c, carry, _f=contrib):
+                    def body(i, carry, _f=contrib, _B=B):
                         vv, ax, ay = carry
-                        val, pull = jax.vjp(
-                            lambda a, b: _f(c, a, b), px, py
-                        )
-                        dx, dy = pull(ones)
-                        return (vv + val, ax + dx, ay + dy)
+                        for b in range(_B):
+                            c = i * _B + b
+                            val, pull = jax.vjp(
+                                lambda a, bb, _c=c: _f(_c, a, bb), px, py
+                            )
+                            dx, dy = pull(ones)
+                            vv, ax, ay = vv + val, ax + dx, ay + dy
+                        return (vv, ax, ay)
 
                     v, gx, gy = jax.lax.fori_loop(
-                        0, count, body, (v, gx, gy)
+                        0, nb, body, (v, gx, gy)
                     )
+                    for c in range(nb * B, count):
+                        val, pull = jax.vjp(
+                            lambda a, b, _c=c: contrib(_c, a, b), px, py
+                        )
+                        dx, dy = pull(ones)
+                        v, gx, gy = v + val, gx + dx, gy + dy
             return v, gx, gy
 
         if with_grad:
@@ -1177,16 +1225,38 @@ def get_fused_run(
     kinds_np = np.asarray(arrays.kind)
     with_grad = mode == "value_and_grad"
     total_candidates = sum(int(g.shape[0]) for g in groups.values())
-    # Small candidate sets: fully-unrolled kernel with walls baked in as
-    # immediates (fastest). Large sets: fori_loop kernel with SMEM-resident
-    # candidates -- the unrolled instruction stream outgrows the scheduler
-    # past ~16 candidates (measured crossover; 3-4x XLA either way).
-    # value_and_grad always uses the looped kernel: the jvp-tripled
-    # unrolled program sends both XLA:CPU (interpret) and Mosaic (TPU)
-    # into pathological compile times (>9 min at 8 candidates, measured
-    # on both), while the fori_loop body stays small and compiles in
-    # seconds.
-    use_looped = total_candidates > 16 or with_grad
+    # Small/medium candidate sets: fully-unrolled kernel with walls baked
+    # in as immediates (fastest: measured 27% over looped at 51 candidates
+    # and 22% at 302, bit-identical outputs).  The cost is Mosaic compile
+    # time, which scales with the instruction stream ~= sum over candidate
+    # groups of count x walls x segments (the blocked test dominates):
+    # ~1000 units -> ~15 s, ~8500 -> ~3 min (measured, TPU v5e remote
+    # compile).  Dispatch by that proxy so basic scenes stay unrolled
+    # through order 2 while city-scale scenes (122 cands x 120 walls)
+    # take the fori_loop kernel, whose program size is O(walls), not
+    # O(candidates).  Compiled kernels are LRU-cached per scene geometry.
+    # value_and_grad unrolled uses one reverse sweep PER CANDIDATE (never
+    # jvp over the whole body -- that tripled the instruction stream and
+    # blew Mosaic compile times past 9 min at 8 candidates; per-candidate
+    # reverse compiles in ~5 s and runs ~10% faster than the looped vag).
+    # Reverse sweeps ~3x the stream, so the grad threshold is lower.
+    n_walls = int(walls_np.shape[0])
+    stream_proxy = sum(
+        int(g.shape[0]) * n_walls * (o + 1) for o, g in groups.items()
+    )
+    if interpret:
+        # Interpreter mode (CPU): under jit, the interpreted kernel
+        # becomes one giant XLA:CPU program, whose compile time is
+        # pathological for the unrolled stream past ~16 candidates and
+        # for ANY unrolled reverse sweep (>16 min at 8 candidates,
+        # measured) -- keep the small-program looped kernel there (it
+        # matched the unrolled one bit-for-bit on TPU).
+        use_looped = total_candidates > 16 or with_grad
+    else:
+        use_looped = (
+            stream_proxy > (400 if with_grad else 1200)
+            and total_candidates > 16
+        )
     group_key = tuple(
         (o, g.tobytes(), g.shape) for o, g in sorted(groups.items())
     )

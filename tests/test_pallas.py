@@ -229,8 +229,9 @@ def test_looped_kernel_runtime_walls(grids):
         chex.assert_trees_all_close(out, ref, **TOL)
 
 
-def test_auto_backend_order2_uses_looped(grids):
-    """Auto dispatch covers large candidate sets via the looped kernel."""
+def test_auto_backend_order2(grids):
+    """Auto dispatch covers order-2 candidate sets (unrolled kernel below
+    the instruction-stream crossover, looped above; both allclose)."""
     scene = Scene.basic_scene()
     X, Y = grids
     auto = tracer.power_map(scene, X, Y, max_order=2, approx=True)
@@ -351,3 +352,42 @@ def test_vag_reverse_equals_forward_tangents():
     for part in outs["vjp"]:
         assert np.isfinite(np.asarray(part)).all()
     chex.assert_trees_all_close(outs["vjp"], outs["jvp2"], rtol=1e-4, atol=1e-4)
+
+
+def test_unrolled_vag_eager_matches_looped():
+    """The unrolled per-candidate reverse vag (the real-TPU grad path,
+    dispatched below the instruction-stream crossover) agrees with the
+    looped vag.  Run EAGERLY in interpreter mode: under jit the
+    interpreted unrolled reverse program becomes one giant XLA:CPU
+    compile (>16 min at 8 candidates), which is also why auto-dispatch
+    keeps grad maps on the looped kernel when ``interpret=True``."""
+    import numpy as np
+
+    from differt2d_tpu.ops.pallas_kernels import (
+        build_power_map_kernel,
+        build_power_map_kernel_looped,
+    )
+    from differt2d_tpu.rt import path_candidate_matrices
+    from differt2d_tpu.tracer import scene_arrays
+
+    scene = Scene.basic_scene()
+    arrays = scene_arrays(scene)
+    groups = path_candidate_matrices(arrays.num_objects, 0, 1)
+    X, Y = jnp.meshgrid(
+        jnp.linspace(0.05, 0.95, 16), jnp.linspace(0.07, 0.93, 12)
+    )
+    pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+    scalars = jnp.array([100.0, 1e-2, 0.0, 0.5, 0.1], dtype=jnp.float32)
+    tx = scene.transmitters["tx"].xy
+
+    unrolled = build_power_map_kernel(
+        np.asarray(arrays.walls), np.asarray(arrays.kind), groups,
+        approx=True, interpret=True, mode="value_and_grad",
+    )
+    looped = build_power_map_kernel_looped(
+        int(arrays.walls.shape[0]), groups,
+        approx=True, interpret=True, mode="value_and_grad",
+    )
+    vu, du = unrolled(pixels, tx, arrays.phi, scalars)
+    vl, dl = looped(pixels, tx, arrays.walls, arrays.kind, arrays.phi, scalars)
+    chex.assert_trees_all_close((vu, du), (vl, dl), rtol=1e-4, atol=1e-4)

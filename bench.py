@@ -433,7 +433,9 @@ def full_config_sweep() -> dict:
     t = chained_step_time(opt_step_implicit)
     out["cfg3_mpt_tx_opt_implicit_s_per_step"] = round(t, 4)
 
-    # Config 4: vertex diffraction on a GeoJSON street scene.
+    # Config 4: vertex diffraction on a GeoJSON street scene.  The
+    # vertex-only Fermat candidates pin every bounce (zero unknowns), so
+    # auto-dispatch routes this to the fused image kernel.
     street = Scene.from_geojson(STREET_GEOJSON)
     for obj in list(street.objects):
         street = street.add_objects(*obj.get_vertices())

@@ -1075,6 +1075,18 @@ def pallas_power_map(
         filter_nodes=filter_nodes,
     )
 
+    if solver in ("fermat", "mpt"):
+        # Vertex-only candidates pin every bounce point and carry zero
+        # interaction residual (reference ``geometry.py:353-431``), so
+        # Fermat/MPT reduce exactly to the image kernels' KIND_VERTEX
+        # path -- no in-kernel optimizer, no key needed.
+        kinds_flat = np.asarray(arrays.kind)
+        cand_idx = [g.reshape(-1) for g in groups.values() if g.size]
+        if not cand_idx or all(
+            np.all(kinds_flat[idx] == KIND_VERTEX) for idx in cand_idx
+        ):
+            solver = "image"
+
     want_grad = grad or value_and_grad
     if want_grad and solver != "image":
         msg = (

@@ -694,6 +694,19 @@ def _xla_run_cache_put(scene, fingerprint, run):
         pass
 
 
+def _all_vertex_allowed(scene, filter_objects) -> bool:
+    """Whether every object that can enter a path candidate (i.e. passes
+    ``filter_objects``) is a :class:`~differt2d_tpu.geometry.Vertex`."""
+    from .geometry import Vertex
+
+    allowed = [
+        obj
+        for obj in scene.objects
+        if filter_objects is None or filter_objects(obj)
+    ]
+    return bool(allowed) and all(isinstance(o, Vertex) for o in allowed)
+
+
 def _pallas_eligible(scene, kwargs: dict) -> bool:
     """Whether the fused Pallas kernel covers this power_map request.
 
@@ -715,7 +728,19 @@ def _pallas_eligible(scene, kwargs: dict) -> bool:
     # rounding into occasional O(1) per-pixel differences (measured
     # 5/4096 pixels on TPU).
     solver = kwargs.get("solver", "image")
-    if solver == "fermat":
+    if solver in ("fermat", "mpt") and _all_vertex_allowed(
+        scene, kwargs.get("filter_objects")
+    ):
+        # Vertex-only candidate sets make the solver a no-op: vertices
+        # have zero parametric unknowns, the bounce point is pinned, and
+        # the interaction residual is identically 0 (reference
+        # ``geometry.py:353-431``) -- the request is exactly the image
+        # kernel's KIND_VERTEX path, so it is Pallas-eligible on every
+        # platform with no key/order restrictions.
+        # (pallas_power_map re-derives this from the candidate groups and
+        # routes to the image kernels.)
+        pass
+    elif solver == "fermat":
         # Real TPU only: the 100-step in-kernel adam loop is pathological
         # under the CPU interpreter (instruction-level interpretation per
         # step per tile), and the XLA tracer is already fast on CPU.

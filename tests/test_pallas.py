@@ -391,3 +391,31 @@ def test_unrolled_vag_eager_matches_looped():
     vu, du = unrolled(pixels, tx, arrays.phi, scalars)
     vl, dl = looped(pixels, tx, arrays.walls, arrays.kind, arrays.phi, scalars)
     chex.assert_trees_all_close((vu, du), (vl, dl), rtol=1e-4, atol=1e-4)
+
+
+def test_all_vertex_solver_maps_dispatch_to_pallas(grids):
+    """Vertex-only Fermat/MPT candidate sets pin every bounce and carry
+    zero residual (reference ``geometry.py:353-431``), so they dispatch to
+    the fused image kernels under backend='auto' and must match the XLA
+    tracer's solver path."""
+    scene = Scene.square_scene().add_objects(
+        Vertex(xy=jnp.array([0.3, 0.6])), Vertex(xy=jnp.array([0.7, 0.2]))
+    )
+    X, Y = grids
+    flt = lambda o: isinstance(o, Vertex)  # noqa: E731
+    key = jax.random.PRNGKey(7)
+    for solver in ("fermat", "mpt"):
+        ref = tracer.power_map(
+            scene, X, Y, order=1, solver=solver, approx=True, key=key,
+            steps=10, filter_objects=flt, backend="xla",
+        )
+        auto = tracer.power_map(
+            scene, X, Y, order=1, solver=solver, approx=True, key=key,
+            steps=10, filter_objects=flt,
+        )
+        pal = pallas_power_map(
+            scene, X, Y, order=1, solver=solver, approx=True, key=key,
+            filter_objects=flt, interpret=True,
+        )
+        chex.assert_trees_all_close(ref, auto, **TOL)
+        chex.assert_trees_all_close(ref, pal, **TOL)

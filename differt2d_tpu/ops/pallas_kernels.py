@@ -435,6 +435,7 @@ def build_power_map_kernel_looped(
     block_rows: int = 32,
     tangent_impl: str = "vjp",
     cand_block: int = 1,
+    hoist_walls: bool = False,
 ):
     """Looped variant of :func:`build_power_map_kernel` for large
     candidate sets.
@@ -499,7 +500,7 @@ def build_power_map_kernel_looped(
         def read_normal(i):
             return aux_ref[2 * i], aux_ref[2 * i + 1]
 
-        def read_patched(w):
+        def _read_patched(w):
             base = 2 * W + 4 * w
             return (
                 aux_ref[base],
@@ -507,6 +508,19 @@ def build_power_map_kernel_looped(
                 aux_ref[base + 2],
                 aux_ref[base + 3],
             )
+
+        if hoist_walls:
+            # Read every patched wall endpoint ONCE per grid step, before
+            # the candidate fori_loop, instead of 4W SMEM reads per
+            # candidate iteration (they are loop-invariant; whether this
+            # wins depends on Mosaic's own LICM and sreg pressure).
+            _patched_all = [_read_patched(w) for w in range(W)]
+
+            def read_patched(w):
+                return _patched_all[w]
+
+        else:
+            read_patched = _read_patched
 
         def make_cand_contrib(order, cand_ref, img_ref):
             """Build ``contrib(c, px, py) -> valid * power`` for one

@@ -419,3 +419,37 @@ def test_all_vertex_solver_maps_dispatch_to_pallas(grids):
         )
         chex.assert_trees_all_close(ref, auto, **TOL)
         chex.assert_trees_all_close(ref, pal, **TOL)
+
+
+def test_unrolled_order2_mixed_kinds_eager_matches_xla():
+    """Order-2 candidate sets with RIS + Vertex kinds through the UNROLLED
+    kernel (the real-TPU dispatch below the instruction-stream crossover).
+    Run eagerly in interpreter mode: under jit the big interpreted stream
+    is XLA:CPU-compile-pathological, which is why interpret-mode
+    auto-dispatch keeps >16-candidate sets on the looped kernel."""
+    import numpy as np
+
+    from differt2d_tpu.ops.pallas_kernels import build_power_map_kernel
+    from differt2d_tpu.rt import path_candidate_matrices
+    from differt2d_tpu.tracer import scene_arrays
+
+    scene = Scene.square_scene().add_objects(
+        RIS(xys=jnp.array([[0.5, 0.3], [0.5, 0.7]])),
+        Vertex(xy=jnp.array([0.25, 0.75])),
+    )
+    arrays = scene_arrays(scene)
+    groups = path_candidate_matrices(arrays.num_objects, 0, 2)  # 37 cands
+    X, Y = jnp.meshgrid(
+        jnp.linspace(0.05, 0.95, 16), jnp.linspace(0.07, 0.93, 9)
+    )
+    pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+    scalars = jnp.array([100.0, 1e-2, 0.0, 0.5, 0.1], dtype=jnp.float32)
+    run = build_power_map_kernel(
+        np.asarray(arrays.walls), np.asarray(arrays.kind), groups,
+        approx=True, interpret=True,
+    )
+    out = run(
+        pixels, scene.transmitters["tx"].xy, arrays.phi, scalars
+    ).reshape(X.shape)
+    ref = tracer.power_map(scene, X, Y, max_order=2, approx=True, backend="xla")
+    chex.assert_trees_all_close(out, ref, **TOL)

@@ -103,6 +103,29 @@ class no_typecheck:
         return False
 
 
+def _dtype_kind(dtype: Any) -> str:
+    """Numpy-style kind char, extended to the ml_dtypes extension types.
+
+    ``np.dtype(jnp.bfloat16).kind`` is ``'V'`` (void) because bfloat16 /
+    fp8 are not native numpy scalars, yet jaxtyping's ``Float`` — the
+    parity target — accepts them.  Classify through numpy's abstract
+    hierarchy (which ml_dtypes registers into) instead of the raw kind.
+    """
+    dt = np.dtype(dtype)
+    if dt.kind in ("b", "f", "i", "u"):
+        return dt.kind
+    import jax.dtypes
+    import jax.numpy as jnp
+
+    if jax.dtypes.issubdtype(dt, jnp.floating):  # bfloat16, float8_*, ...
+        return "f"
+    if jax.dtypes.issubdtype(dt, jnp.signedinteger):  # int4, ...
+        return "i"
+    if jax.dtypes.issubdtype(dt, jnp.unsignedinteger):  # uint4, ...
+        return "u"
+    return dt.kind
+
+
 def _describe(value: Any) -> str:
     dtype = getattr(value, "dtype", None)
     if dtype is not None:
@@ -156,8 +179,7 @@ class Spec:
         dtype = getattr(value, "dtype", None)
         if dtype is None:
             return False
-        kind = np.dtype(dtype).kind
-        if kind not in self.kinds:
+        if _dtype_kind(dtype) not in self.kinds:
             return False
         if self.scalar:
             shape = getattr(value, "shape", None)
@@ -222,6 +244,13 @@ def typecheck(
 
     def deco(fn: Callable) -> Callable:
         sig = inspect.signature(fn)
+        unknown = set(param_specs) - set(sig.parameters)
+        if unknown:
+            msg = (
+                f"typecheck spec(s) {sorted(unknown)} match no parameter of"
+                f" {fn.__qualname__} — typo or renamed parameter?"
+            )
+            raise TypeError(msg)
         positional = [
             p.name
             for p in sig.parameters.values()

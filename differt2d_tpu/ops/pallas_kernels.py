@@ -1279,10 +1279,10 @@ def get_fused_run(
         # matched the unrolled one bit-for-bit on TPU).
         use_looped = total_candidates > 16 or with_grad
     else:
-        use_looped = (
-            stream_proxy > (400 if with_grad else 1200)
-            and total_candidates > 16
-        )
+        # Proxy alone decides: a few-candidate set over MANY walls (e.g. a
+        # filtered city scene) still unrolls a huge blocked-test stream,
+        # so candidate count must not override the compile-time bound.
+        use_looped = stream_proxy > (400 if with_grad else 1200)
     group_key = tuple(
         (o, g.tobytes(), g.shape) for o, g in sorted(groups.items())
     )

@@ -938,18 +938,28 @@ def power_map(
             " parameters with backend='xla' or 'auto'"
         )
         raise ValueError(msg)
+    # Gradient maps run in-kernel for the image solver only -- which
+    # includes vertex-only Fermat/MPT requests, since those reduce to the
+    # image kernels' KIND_VERTEX path (zero unknowns; see
+    # ``_all_vertex_allowed``).
+    def _grad_on_solver() -> bool:
+        return (
+            (grad or value_and_grad)
+            and kwargs.get("solver", "image") != "image"
+            and not _all_vertex_allowed(scene, kwargs.get("filter_objects"))
+        )
+
     want_pallas = backend == "pallas" or (
         backend == "auto"
         and not traced_scene
         and _pallas_eligible(scene, kwargs)
-        # Gradient maps run in-kernel for the image solver only.
-        and not ((grad or value_and_grad) and kwargs.get("solver", "image") != "image")
+        and not _grad_on_solver()
     )
     if want_pallas:
         from .logic import sigmoid as _sigmoid
         from .ops.pallas_kernels import pallas_power_map
 
-        if (grad or value_and_grad) and kwargs.get("solver", "image") != "image":
+        if _grad_on_solver():
             msg = (
                 "backend='pallas' gradient maps support the image solver"
                 " only; use backend='xla' or 'auto' for Fermat/MPT"

@@ -453,3 +453,23 @@ def test_unrolled_order2_mixed_kinds_eager_matches_xla():
     ).reshape(X.shape)
     ref = tracer.power_map(scene, X, Y, max_order=2, approx=True, backend="xla")
     chex.assert_trees_all_close(out, ref, **TOL)
+
+
+def test_all_vertex_solver_grad_maps(grids):
+    """grad/value_and_grad on vertex-only Fermat requests work through
+    every backend (they reduce to the image kernels' KIND_VERTEX path) and
+    agree with the XLA tracer."""
+    scene = Scene.square_scene().add_objects(
+        Vertex(xy=jnp.array([0.3, 0.6])), Vertex(xy=jnp.array([0.7, 0.2]))
+    )
+    X, Y = grids
+    flt = lambda o: isinstance(o, Vertex)  # noqa: E731
+    key = jax.random.PRNGKey(7)
+    kw = dict(order=1, solver="fermat", approx=True, key=key, steps=10,
+              filter_objects=flt, grad=True)
+    ref = tracer.power_map(scene, X, Y, backend="xla", **kw)
+    auto = tracer.power_map(scene, X, Y, **kw)
+    forced = tracer.power_map(scene, X, Y, backend="pallas", **kw)
+    assert auto.shape == (*X.shape, 2)
+    chex.assert_trees_all_close(ref, auto, **TOL)
+    chex.assert_trees_all_close(ref, forced, **TOL)

@@ -123,3 +123,21 @@ def test_no_typecheck_scope():
         set_typecheck(True)
     with pytest.raises(TypeCheckError):
         is_true(0.5, approx=False)
+
+
+def test_extension_float_dtypes_accepted():
+    # jaxtyping's Float (the parity target) accepts ml_dtypes floats;
+    # np.dtype(bfloat16).kind is 'V', so the checker must classify
+    # through JAX's dtype lattice, not the raw numpy kind.
+    out = greater(jnp.array([0.1, 0.9], dtype=jnp.bfloat16), 0.5, approx=True)
+    assert out.shape == (2,)
+
+
+def test_unknown_spec_name_raises_at_decoration():
+    from differt2d_tpu._runtime_typing import SCALAR_FLOAT, typecheck
+
+    with pytest.raises(TypeError, match="match no parameter"):
+
+        @typecheck(aplha=SCALAR_FLOAT)  # typo'd on purpose
+        def f(alpha):
+            return alpha

@@ -1070,6 +1070,12 @@ def pallas_power_map(
     if approx is None:
         approx = ENABLE_APPROX
 
+    if jax.config.jax_enable_x64:
+        msg = (
+            "the fused Pallas kernels are float32-only (TPU VPU-native);"
+            " disable jax_enable_x64 or use backend='xla'"
+        )
+        raise ValueError(msg)
     arrays = scene_arrays(scene)
     if arrays is None:
         msg = "pallas_power_map requires Wall/RIS/Vertex objects only"

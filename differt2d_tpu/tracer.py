@@ -720,6 +720,10 @@ def _pallas_eligible(scene, kwargs: dict) -> bool:
     # interpreter mode. Any other backend (GPU, ...) uses the XLA tracer.
     if jax.default_backend() not in ("tpu", "cpu"):
         return False
+    # The kernels are float32-only (TPU VPU-native); under jax_enable_x64
+    # the grids arrive as f64 and must stay on the XLA tracer.
+    if jax.config.jax_enable_x64:
+        return False
     # Fermat auto-dispatches to the in-kernel adam solver now that its
     # bias-correction table is computed by XLA's own `decay**count`
     # lowering (bit-parity with optax; verified allclose on TPU).

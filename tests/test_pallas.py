@@ -473,3 +473,21 @@ def test_all_vertex_solver_grad_maps(grids):
     assert auto.shape == (*X.shape, 2)
     chex.assert_trees_all_close(ref, auto, **TOL)
     chex.assert_trees_all_close(ref, forced, **TOL)
+
+
+def test_x64_mode_declines_pallas(grids):
+    """Under jax_enable_x64 the f32-only kernels must decline auto
+    dispatch (XLA tracer serves the request in f64) and a forced pallas
+    backend must raise a clear error instead of a Mosaic dtype crash."""
+    scene = Scene.basic_scene()
+    X, Y = grids
+    jax.config.update("jax_enable_x64", True)
+    try:
+        X64, Y64 = X.astype(jnp.float64), Y.astype(jnp.float64)
+        out = tracer.power_map(scene, X64, Y64, max_order=1, approx=True)
+        assert out.dtype == jnp.float64
+        with pytest.raises(ValueError, match="float32-only"):
+            pallas_power_map(scene, X64, Y64, max_order=1, approx=True,
+                             interpret=True)
+    finally:
+        jax.config.update("jax_enable_x64", False)

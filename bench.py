@@ -270,8 +270,7 @@ def main():
     if map_flops > 0:
         flops_per_point = map_flops / pixels.shape[0]
         eff_tflops = map_flops / fast_t / 1e12
-        # v5e VPU peak model: 8x128 lanes x 4 ALUs x 2 (FMA) x 940 MHz.
-        vpu_peak_tflops = 8 * 128 * 4 * 2 * 0.94e9 / 1e12
+        vpu_peak_tflops = VPU_PEAK_TFLOPS
         hbm_bytes = pixels.shape[0] * (2 + 1) * 4  # px,py in + map out, f32
         roofline = {
             "flops_model": round(flops_per_point, 1),
@@ -341,6 +340,37 @@ STREET_GEOJSON = json.dumps(
 )
 
 
+VPU_PEAK_TFLOPS = 8 * 128 * 4 * 2 * 0.94e9 / 1e12
+"""v5e VPU peak model: 8x128 lanes x 4 ALUs x 2 (FMA) x 940 MHz."""
+
+
+def _pct_vpu_peak(scene, n_points: int, t_per_map: float, **fn_kwargs):
+    """Per-config roofline: % of VPU peak at the measured per-map time,
+    with FLOPs from XLA's cost model of the identical XLA-tracer map."""
+    import jax.numpy as jnp
+
+    from differt2d_tpu.tracer import make_pixels_fn
+
+    try:
+        xs = jnp.linspace(0.011, 0.989, n_points)
+        probe = jnp.stack([xs, xs], axis=-1)
+        ca = (
+            jax.jit(make_pixels_fn(scene, **fn_kwargs))
+            .lower(probe)
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+    except Exception:
+        return None
+    if flops <= 0:
+        return None
+    eff_tflops = flops / t_per_map / 1e12
+    return round(100.0 * eff_tflops / VPU_PEAK_TFLOPS, 1)
+
+
 def full_config_sweep() -> dict:
     """Timings for the remaining BASELINE.json configs (BENCH_FULL=1)."""
     import jax.numpy as jnp
@@ -365,6 +395,11 @@ def full_config_sweep() -> dict:
         X, Y, k=5,
     )
     out["cfg2_256x256_order2_sigmoid_pts_per_s"] = round(256 * 256 / t, 1)
+    pct = _pct_vpu_peak(
+        scene, 256 * 256, t, max_order=2, approx=True, function=sigmoid
+    )
+    if pct is not None:
+        out["cfg2_pct_vpu_peak"] = pct
 
     # Config 3: TX-placement optimization step with the MPT solver.
     opt_scene = Scene.square_scene_with_wall()
@@ -478,6 +513,9 @@ def full_config_sweep() -> dict:
         Xc, Yc, k=5,
     )
     out["cfg6_city_120walls_order1_pts_per_s"] = round(256 * 256 / t, 1)
+    pct = _pct_vpu_peak(city, 256 * 256, t, max_order=1, approx=True)
+    if pct is not None:
+        out["cfg6_pct_vpu_peak"] = pct
 
     # Config 5: RIS phase-gradient optimization step (MPT).
     base = Scene.square_scene()

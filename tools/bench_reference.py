@@ -89,6 +89,15 @@ def main():
 
     result["cfg2_order2_sigmoid_pts_per_s"] = round(n * n / time_fn(ref_map2), 1)
 
+    # Pixel value+grad map (the other half of the BASELINE correctness bar).
+    def ref_vag():
+        return ref.accumulate_on_receivers_grid_over_paths(
+            X, Y, fun=ref_received_power, reduce_all=True,
+            value_and_grad=True, max_order=1, approx=True,
+        )
+
+    result["grad_map_pts_per_s"] = round(n * n / time_fn(ref_vag), 1)
+
     # --- numerical parity: actual reference vs this framework -------------
     ng = 24
     Xg, Yg = jnp.meshgrid(

@@ -147,6 +147,7 @@ def main():
             _np.asarray(arrays.kind),
             path_candidate_matrices(arrays.num_objects, 0, 1),
             approx=True,
+            block_rows=32,  # matches get_fused_run's small-set choice
         )
     )
     scalars = jnp.array([100.0, 1e-2, 0.0, 0.5, 0.1], dtype=jnp.float32)

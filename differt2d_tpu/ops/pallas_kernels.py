@@ -103,6 +103,7 @@ def build_power_map_kernel(
     sigmoid: bool = False,
     interpret: bool = False,
     mode: str = "value",
+    block_rows: int = SUBLANES,
 ):
     """Build a fused kernel ``f(pixels[P, 2], tx[2], phi[W], scalars) -> [P]``.
 
@@ -367,7 +368,8 @@ def build_power_map_kernel(
 
     def run(pixels: jax.Array, tx: jax.Array, phi: jax.Array, scalars: jax.Array):
         P = pixels.shape[0]
-        padded = -((-P) // TILE) * TILE
+        block = block_rows * LANES
+        padded = -((-P) // block) * block
         px = pixels[:, 0]
         py = pixels[:, 1]
         if padded != P:
@@ -379,24 +381,19 @@ def build_power_map_kernel(
 
         packed = jnp.concatenate([tx, scalars])
 
+        tile_spec = pl.BlockSpec(
+            (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
         out = pl.pallas_call(
             kernel,
-            grid=(rows // SUBLANES,),
+            grid=(rows // block_rows,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(
-                    (SUBLANES, LANES),
-                    lambda i: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (SUBLANES, LANES),
-                    lambda i: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
+                tile_spec,
+                tile_spec,
             ],
-            out_specs=_out_specs(with_grad),
+            out_specs=_out_specs(with_grad, block_rows),
             out_shape=_out_shape(rows, with_grad),
             interpret=interpret,
         )(packed, phi, px, py)
@@ -1347,6 +1344,10 @@ def get_fused_run(
             sigmoid=sigmoid,
             interpret=interpret,
             mode=mode,
+            # Small candidate sets leave VMEM headroom for bigger pixel
+            # blocks (measured: 32 rows is +20% at 9 candidates, -12% at
+            # 51 where per-candidate live tiles crowd VMEM).
+            block_rows=32 if total_candidates <= 16 else SUBLANES,
         )
 
         def run(pixels, txs, walls, kind, phi, scalars):

@@ -393,7 +393,7 @@ def full_config_sweep() -> dict:
         lambda Xg, Yg: power_map(
             scene, Xg, Yg, max_order=2, approx=True, function=sigmoid,
         ),
-        X, Y, k=5,
+        X, Y, k=8, reps=3,
     )
     out["cfg2_256x256_order2_sigmoid_pts_per_s"] = round(256 * 256 / t, 1)
     pct = _pct_vpu_peak(
@@ -498,7 +498,7 @@ def full_config_sweep() -> dict:
             key=key,
             filter_objects=is_vertex,
         ),
-        Xv, Yv, k=5,
+        Xv, Yv, k=8, reps=3,
     )
     out["cfg4_geojson_vertex_diffraction_pts_per_s"] = round(128 * 128 / t, 1)
 
@@ -511,7 +511,7 @@ def full_config_sweep() -> dict:
     )
     t = chained_grid_map_time(
         lambda Xg, Yg: power_map(city, Xg, Yg, max_order=1, approx=True),
-        Xc, Yc, k=5,
+        Xc, Yc, k=5, reps=3,
     )
     out["cfg6_city_120walls_order1_pts_per_s"] = round(256 * 256 / t, 1)
     pct = _pct_vpu_peak(city, 256 * 256, t, max_order=1, approx=True)

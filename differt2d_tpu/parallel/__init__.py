@@ -10,7 +10,7 @@ path. Multi-host runs use :func:`jax.distributed.initialize` plus
 host-local sharded grids.
 """
 
-from .cand_sharded import power_map_cand_sharded
+from .cand_sharded import cand_mesh, power_map_cand_sharded
 from .launcher import host_local_pixels, initialize_from_env
 from .sharding import (
     grid_mesh,
@@ -27,6 +27,7 @@ __all__ = (
     "initialize_distributed",
     "initialize_from_env",
     "make_train_step",
+    "cand_mesh",
     "power_map_cand_sharded",
     "power_map_sharded",
     "power_map_wall_sharded",

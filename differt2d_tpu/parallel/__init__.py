@@ -12,6 +12,7 @@ host-local sharded grids.
 
 from .cand_sharded import cand_mesh, power_map_cand_sharded
 from .launcher import host_local_pixels, initialize_from_env
+from .supervisor import GangResult, run_gang
 from .sharding import (
     grid_mesh,
     initialize_distributed,
@@ -22,6 +23,7 @@ from .sharding import (
 from .wall_sharded import power_map_wall_sharded, wall_grid_mesh
 
 __all__ = (
+    "GangResult",
     "grid_mesh",
     "host_local_pixels",
     "initialize_distributed",
@@ -30,6 +32,7 @@ __all__ = (
     "cand_mesh",
     "power_map_cand_sharded",
     "power_map_sharded",
+    "run_gang",
     "power_map_wall_sharded",
     "shard_pixels",
     "wall_grid_mesh",

@@ -141,13 +141,17 @@ def main():
     X, Y = jnp.meshgrid(jnp.linspace(0.01, 0.99, n), jnp.linspace(0.012, 0.988, n))
     pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
     arrays = scene_arrays(scene)
+    # CPU (CI smoke): Pallas kernels only run in interpreter mode there.
+    interp = jax.default_backend() == "cpu"
     kernel = jax.jit(
         build_power_map_kernel(
             _np.asarray(arrays.walls),
             _np.asarray(arrays.kind),
             path_candidate_matrices(arrays.num_objects, 0, 1),
             approx=True,
-            block_rows=32,  # matches get_fused_run's small-set choice
+            interpret=interp,
+            # matches get_fused_run's small-set choice on real TPU
+            block_rows=8 if interp else 32,
         )
     )
     scalars = jnp.array([100.0, 1e-2, 0.0, 0.5, 0.1], dtype=jnp.float32)
@@ -170,7 +174,7 @@ def main():
         n_tx=1,
         approx=True,
         sigmoid=False,
-        interpret=False,
+        interpret=interp,
         mode="value_and_grad",
     )
     txs = tx[None, :]
@@ -286,7 +290,7 @@ def main():
     result = {
         "metric": "rx_grid_points_per_s_per_chip",
         "value": round(points_per_s, 1),
-        "unit": "points/s/chip (1024x1024, order<=1, soft)",
+        "unit": f"points/s/chip ({n}x{n}, order<=1, soft)",
         "vs_baseline": round(points_per_s / base_points_per_s, 3),
         "grad_check_pass": grad_ok,
         "fast_s_per_map": round(fast_t, 4),

@@ -244,8 +244,13 @@ def typecheck(
 
     def deco(fn: Callable) -> Callable:
         sig = inspect.signature(fn)
+        has_var_kw = any(
+            p.kind is p.VAR_KEYWORD for p in sig.parameters.values()
+        )
         unknown = set(param_specs) - set(sig.parameters)
-        if unknown:
+        if unknown and not has_var_kw:
+            # With **kwargs present, extra spec names are legitimately
+            # checked at call time; without it they are typos.
             msg = (
                 f"typecheck spec(s) {sorted(unknown)} match no parameter of"
                 f" {fn.__qualname__} — typo or renamed parameter?"

@@ -1346,8 +1346,14 @@ def get_fused_run(
             mode=mode,
             # Small candidate sets leave VMEM headroom for bigger pixel
             # blocks (measured: 32 rows is +20% at 9 candidates, -12% at
-            # 51 where per-candidate live tiles crowd VMEM).
-            block_rows=32 if total_candidates <= 16 else SUBLANES,
+            # 51 where per-candidate live tiles crowd VMEM). Interpreter
+            # mode keeps the minimal tile: the VMEM rationale does not
+            # apply and bigger blocks only pad small CPU maps 4x.
+            block_rows=(
+                SUBLANES
+                if interpret or total_candidates > 16
+                else 32
+            ),
         )
 
         def run(pixels, txs, walls, kind, phi, scalars):

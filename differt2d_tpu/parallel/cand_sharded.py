@@ -49,25 +49,22 @@ from ..logic import hard_sigmoid
 from ..rt import path_candidate_matrices
 
 
-def cand_mesh(
-    n_cand: int,
-    devices: Optional[list] = None,
-    axis_names: tuple = ("grid", "cand"),
-) -> Mesh:
+def cand_mesh(n_cand: int, devices: Optional[list] = None) -> Mesh:
     """2D mesh: first axis shards pixels, second shards candidates.
+
+    Same factoring as :func:`~differt2d_tpu.parallel.wall_grid_mesh`
+    (which it delegates to), with axis names ``("grid", "cand")``.
 
     >>> import jax
     >>> m = cand_mesh(n_cand=len(jax.devices()))
     >>> m.axis_names
     ('grid', 'cand')
     """
-    if devices is None:
-        devices = jax.devices()
-    n_grid = len(devices) // n_cand
-    if n_grid * n_cand != len(devices):
-        msg = f"{len(devices)} devices do not factor as n_grid x {n_cand}"
-        raise ValueError(msg)
-    return Mesh(np.asarray(devices).reshape(n_grid, n_cand), axis_names)
+    from .wall_sharded import wall_grid_mesh
+
+    return wall_grid_mesh(
+        n_cand, devices=devices, axis_names=("grid", "cand")
+    )
 
 
 def power_map_cand_sharded(

@@ -67,7 +67,9 @@ def _terminate(procs: Sequence[subprocess.Popen], grace_s: float) -> None:
                 try:
                     p.send_signal(signal.SIGKILL)
                     p.wait(timeout=5.0)
-                except OSError:
+                except (OSError, subprocess.TimeoutExpired):
+                    # A rank in uninterruptible sleep can survive even
+                    # SIGKILL for a while; move on to reap the others.
                     pass
 
 
@@ -100,13 +102,19 @@ def run_gang(
 
     for attempt in range(max_restarts + 1):
         result.attempts = attempt + 1
-        procs = [
-            subprocess.Popen(list(build_argv(pid, attempt)), env=worker_env)
-            for pid in range(num_processes)
-        ]
+        # Spawn inside the try so a failing build_argv/Popen mid-gang
+        # still reaps the ranks already launched (an unsupervised rank
+        # wedges forever on its first collective).
+        procs: list = []
         started = time.monotonic()
         failed: list = []
         try:
+            for pid in range(num_processes):
+                procs.append(
+                    subprocess.Popen(
+                        list(build_argv(pid, attempt)), env=worker_env
+                    )
+                )
             while True:
                 codes = [p.poll() for p in procs]
                 failed = [

@@ -14,10 +14,17 @@ import pytest
 import differt2d_tpu
 
 
+def _walk_error(name):  # pragma: no cover - only fires on breakage
+    raise RuntimeError(f"failed to import package {name!r} during doctest walk")
+
+
 def _all_modules():
     names = ["differt2d_tpu"]
+    # onerror keeps the loud-failure property of an explicit import list:
+    # a broken package __init__ must fail the suite, not silently drop
+    # its whole subtree from doctest coverage.
     for info in pkgutil.walk_packages(
-        differt2d_tpu.__path__, prefix="differt2d_tpu."
+        differt2d_tpu.__path__, prefix="differt2d_tpu.", onerror=_walk_error
     ):
         spec = importlib.util.find_spec(info.name)
         origin = getattr(spec, "origin", None) or ""

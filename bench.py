@@ -165,8 +165,8 @@ def main():
     tx = scene.transmitters["tx"].xy
     # reps=4 on the headline metric only: the tunnel's run-to-run spread
     # is ~2x (0.8-1.6 ms/map measured across rounds), and the driver
-    # records a single bench invocation -- min-of-4 slopes keeps the
-    # recorded number close to the chip's actual steady state.
+    # records a single bench invocation -- the median of 4 paired slopes
+    # keeps the recorded number close to the chip's actual steady state.
     fast_t = chained_map_time(
         lambda p: kernel(p, tx, arrays.phi, scalars), pixels, reps=4
     )

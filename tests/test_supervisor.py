@@ -115,3 +115,42 @@ def test_gang_hang_detection(tmp_path):
     assert result.succeeded
     assert result.attempts == 2
     assert result.failed_ranks_per_attempt == [[0, 1]]
+
+
+def test_spawn_failure_reaps_partial_gang(tmp_path):
+    """If build_argv/Popen fails for a later rank, the already-spawned
+    ranks must be reaped before the exception propagates (an
+    unsupervised rank would wedge forever)."""
+    import time
+
+    script = tmp_path / "sleeper.py"
+    script.write_text(
+        "import os, sys, time\n"
+        "open(sys.argv[1], 'w').write(str(os.getpid()))\n"
+        "time.sleep(120)\n"
+    )
+    pid_file = tmp_path / "rank0.pid"
+
+    def build_argv(pid, attempt):
+        if pid == 1:
+            # Let rank 0 actually start (interpreter startup is ~2 s on
+            # this box) so the leak, if any, is observable.
+            deadline = time.time() + 30
+            while time.time() < deadline and not pid_file.exists():
+                time.sleep(0.2)
+            raise RuntimeError("simulated spawn failure")
+        return [sys.executable, str(script), str(pid_file)]
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="simulated spawn failure"):
+        run_gang(build_argv, num_processes=2, max_restarts=0, grace_s=5.0)
+
+    # rank 0 was spawned before the failure; it must be gone now.
+    assert pid_file.exists(), "rank 0 never started"
+    rank0_pid = int(pid_file.read_text())
+    for _ in range(50):
+        if not os.path.exists(f"/proc/{rank0_pid}"):
+            break
+        time.sleep(0.2)
+    assert not os.path.exists(f"/proc/{rank0_pid}"), "rank 0 leaked"

@@ -10,23 +10,47 @@ max_order=1), 1024x1024 receiver grid, soft logic, image-method solver.
 * grad_check = tracer value+grad allclose vs the reference-structured path
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Resilience: ``python bench.py`` runs a thin WRAPPER process that (1) probes
+the device backend with a tiny jitted op in a subprocess under a timeout,
+retrying with backoff while the remote tunnel heals, (2) runs the actual
+measurements in an inner subprocess (``--inner``) that streams each metric
+as a ``#PART#`` line so a mid-run hang still leaves partial results, and
+(3) on persistent device failure re-runs the inner bench on forced CPU and
+reports ``"device": "cpu-fallback"`` plus an ``"error"`` field.  The
+wrapper ALWAYS prints one parseable JSON line and exits 0 -- a down tunnel
+must never cost the round its bench artifact again (it did in round 2).
 """
 
 import json
 import os
+import subprocess
+import sys
+import tempfile
 import time
 
-import jax
-
-# Persistent compilation cache: repeated bench runs (driver rounds) skip
-# most of the remote-compile cost (~5x faster warm start measured).
 _CACHE_DIR = os.environ.get(
     "BENCH_JAX_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
 )
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-import jax.numpy as jnp
+
+import jax  # noqa: E402  (importing jax does NOT initialize any backend)
+import jax.numpy as jnp  # noqa: E402
+
+
+def _setup_jax():
+    """JAX config for the INNER measurement process only.
+
+    Persistent compilation cache: repeated bench runs (driver rounds) skip
+    most of the remote-compile cost (~5x faster warm start measured).
+    """
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def _part(fragment: dict) -> None:
+    """Stream a finished metric so the wrapper can salvage it on a hang."""
+    print("#PART# " + json.dumps(fragment), flush=True)
 
 
 def _paired_slope(run, k, reps):
@@ -39,7 +63,11 @@ def _paired_slope(run, k, reps):
     ordinary t(1) produced negative slopes on small per-map times.
     """
     slopes = sorted((run(k) - run(1)) / (k - 1) for _ in range(reps))
-    return max(slopes[len(slopes) // 2], 1e-9)
+    m = len(slopes)
+    median = (
+        slopes[m // 2] if m % 2 else 0.5 * (slopes[m // 2 - 1] + slopes[m // 2])
+    )
+    return max(median, 1e-9)
 
 
 def chained_map_time(map_fn, pixels, k=10, reps=2):
@@ -131,7 +159,8 @@ def chained_step_time(step_once, k=10, reps=2):
     return _paired_slope(run, k, reps)
 
 
-def main():
+def _inner_main():
+    _setup_jax()
     from differt2d_tpu.scene import Scene
     from differt2d_tpu.tracer import make_pixels_fn
     from differt2d_tpu.utils import received_power
@@ -171,6 +200,15 @@ def main():
         lambda p: kernel(p, tx, arrays.phi, scalars), pixels, reps=4
     )
     points_per_s = pixels.shape[0] / fast_t
+    _part(
+        {
+            "metric": "rx_grid_points_per_s_per_chip",
+            "value": round(points_per_s, 1),
+            "unit": f"points/s/chip ({n}x{n}, order<=1, soft)",
+            "fast_s_per_map": round(fast_t, 4),
+            "device": str(jax.devices()[0]),
+        }
+    )
 
     # --- fused value+grad kernel (in-kernel forward-mode tangents) --------
     from differt2d_tpu.ops.pallas_kernels import get_fused_run
@@ -192,6 +230,12 @@ def main():
         pixels,
     )
     grad_points_per_s = pixels.shape[0] / vag_t
+    _part(
+        {
+            "grad_points_per_s": round(grad_points_per_s, 1),
+            "grad_s_per_map": round(vag_t, 4),
+        }
+    )
 
     # --- XLA tracer (the differentiable path) ------------------------------
     xla = jax.jit(make_pixels_fn(scene, max_order=1, approx=True))
@@ -204,6 +248,12 @@ def main():
     )
     xla_vag_t = chained_map_time(xla_vag, pixels)
     xla_grad_points_per_s = pixels.shape[0] / xla_vag_t
+    _part(
+        {
+            "xla_points_per_s": round(xla_points_per_s, 1),
+            "xla_grad_points_per_s": round(xla_grad_points_per_s, 1),
+        }
+    )
 
     # --- baseline: reference-structured per-pixel path --------------------
     nb = int(os.environ.get("BENCH_BASELINE_SIZE", "256"))
@@ -229,6 +279,12 @@ def main():
         k=5,
     )
     base_points_per_s = (nb * nb) / base_t
+    _part(
+        {
+            "baseline_points_per_s": round(base_points_per_s, 1),
+            "vs_baseline": round(points_per_s / base_points_per_s, 3),
+        }
+    )
 
     # --- grad check: tracer vs reference-structured path ------------------
     ng = 24
@@ -265,6 +321,7 @@ def main():
         and np.allclose(Zpg, Zs, rtol=1e-4, atol=1e-5)
         and np.allclose(dZpg, dZs, rtol=1e-3, atol=1e-5)
     )
+    _part({"grad_check_pass": grad_ok})
 
     # --- roofline: FLOPs from XLA's own cost model of the identical
     # computation (the XLA tracer's map), bytes from the kernel's actual
@@ -397,6 +454,10 @@ def full_config_sweep() -> dict:
     key = jax.random.PRNGKey(1234)
     out = {}
 
+    def _set(name, value):
+        out[name] = value
+        _part({name: value})
+
     # Config 2: 256x256 receiver grid, order-2 reflections, sigmoid.
     scene = Scene.basic_scene()
     X, Y = jnp.meshgrid(jnp.linspace(0.01, 0.99, 256), jnp.linspace(0.01, 0.99, 256))
@@ -409,12 +470,12 @@ def full_config_sweep() -> dict:
         # k=8 produced negative slopes (noise floor) on occasion
         X, Y, k=64, reps=3,
     )
-    out["cfg2_256x256_order2_sigmoid_pts_per_s"] = round(256 * 256 / t, 1)
+    _set("cfg2_256x256_order2_sigmoid_pts_per_s", round(256 * 256 / t, 1))
     pct = _pct_vpu_peak(
         scene, 256 * 256, t, max_order=2, approx=True, function=sigmoid
     )
     if pct is not None:
-        out["cfg2_pct_vpu_peak"] = pct
+        _set("cfg2_pct_vpu_peak", pct)
 
     # Config 3: TX-placement optimization step with the MPT solver.
     opt_scene = Scene.square_scene_with_wall()
@@ -452,7 +513,7 @@ def full_config_sweep() -> dict:
         return v
 
     t = chained_step_time(opt_step)
-    out["cfg3_mpt_tx_opt_s_per_step"] = round(t, 4)
+    _set("cfg3_mpt_tx_opt_s_per_step", round(t, 4))
 
     # Same step with implicit-function-theorem solver gradients
     # (identical forward solve; no transposed 100-step scan in the
@@ -485,7 +546,7 @@ def full_config_sweep() -> dict:
         return v
 
     t = chained_step_time(opt_step_implicit)
-    out["cfg3_mpt_tx_opt_implicit_s_per_step"] = round(t, 4)
+    _set("cfg3_mpt_tx_opt_implicit_s_per_step", round(t, 4))
 
     # Config 4: vertex diffraction on a GeoJSON street scene.  The
     # vertex-only Fermat candidates pin every bounce (zero unknowns), so
@@ -514,7 +575,7 @@ def full_config_sweep() -> dict:
         ),
         Xv, Yv, k=64, reps=3,
     )
-    out["cfg4_geojson_vertex_diffraction_pts_per_s"] = round(128 * 128 / t, 1)
+    _set("cfg4_geojson_vertex_diffraction_pts_per_s", round(128 * 128 / t, 1))
 
     # Config 6: city-scale scene (120 walls, the Helsinki-notebook regime):
     # order-1 map through the looped kernel (121 candidates x 120-wall
@@ -527,10 +588,10 @@ def full_config_sweep() -> dict:
         lambda Xg, Yg: power_map(city, Xg, Yg, max_order=1, approx=True),
         Xc, Yc, k=5, reps=3,
     )
-    out["cfg6_city_120walls_order1_pts_per_s"] = round(256 * 256 / t, 1)
+    _set("cfg6_city_120walls_order1_pts_per_s", round(256 * 256 / t, 1))
     pct = _pct_vpu_peak(city, 256 * 256, t, max_order=1, approx=True)
     if pct is not None:
-        out["cfg6_pct_vpu_peak"] = pct
+        _set("cfg6_pct_vpu_peak", pct)
 
     # Config 5: RIS phase-gradient optimization step (MPT).
     base = Scene.square_scene()
@@ -573,10 +634,178 @@ def full_config_sweep() -> dict:
         return v
 
     t = chained_step_time(ris_step_fn, k=5)
-    out["cfg5_ris_phase_opt_s_per_step"] = round(t, 4)
+    _set("cfg5_ris_phase_opt_s_per_step", round(t, 4))
 
     return out
 
 
+# --------------------------------------------------------------------------
+# Resilience wrapper (the default entry).  The round-2 bench artifact was
+# lost to a down tunnel (rc=1, no JSON); everything below exists so that
+# can never happen again: probe -> inner subprocess -> retry -> CPU
+# fallback -> minimal error JSON, always exit 0.
+# --------------------------------------------------------------------------
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "print(float(jax.jit(lambda x: x.sum())(jnp.arange(8.0))))"
+)
+
+
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _probe_once(timeout_s: float) -> bool:
+    """One tiny jitted op in a subprocess: exercises tunnel AND the
+    remote-compile service.  A test hook (BENCH_PROBE_CMD) can replace
+    the probe command to simulate a down/up backend."""
+    cmd = os.environ.get("BENCH_PROBE_CMD")
+    argv = ["/bin/sh", "-c", cmd] if cmd else [sys.executable, "-c", _PROBE_SRC]
+    try:
+        proc = subprocess.run(
+            argv, timeout=timeout_s, capture_output=True, text=True
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+    except OSError:
+        return False
+
+
+def _probe_with_retry(attempts: int, timeout_s: float) -> bool:
+    backoff = float(os.environ.get("BENCH_PROBE_BACKOFF", "60"))
+    for i in range(attempts):
+        t0 = time.time()
+        if _probe_once(timeout_s):
+            _log(f"device probe ok (attempt {i + 1}, {time.time() - t0:.0f}s)")
+            return True
+        _log(f"device probe failed (attempt {i + 1}/{attempts})")
+        if i < attempts - 1:
+            _log(f"retrying in {backoff:.0f}s (tunnel may be healing)")
+            time.sleep(backoff)
+            backoff = min(2 * backoff, 600.0)
+    return False
+
+
+def _run_inner(extra_env: dict, timeout_s: float):
+    """Run ``bench.py --inner`` as a subprocess; return
+    ``(result_dict_or_None, partials_dict, error_str_or_None)``.
+
+    stdout goes to a temp file so a killed/hung child still leaves its
+    ``#PART#`` stream readable; the child is killed by exact PID.
+    """
+    env = dict(os.environ)
+    for k, v in extra_env.items():
+        if v is None:
+            env.pop(k, None)  # None = unset (e.g. the axon plugin trigger)
+        else:
+            env[k] = v
+    error = None
+    with tempfile.TemporaryFile(mode="w+") as out:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--inner"],
+            stdout=out,
+            stderr=sys.stderr,
+            env=env,
+        )
+        try:
+            rc = proc.wait(timeout=timeout_s)
+            if rc != 0:
+                error = f"inner bench exited rc={rc}"
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+            error = f"inner bench hung (> {timeout_s:.0f}s), killed"
+        out.seek(0)
+        lines = out.read().splitlines()
+    partials = {}
+    result = None
+    for line in lines:
+        line = line.strip()
+        if line.startswith("#PART# "):
+            try:
+                partials.update(json.loads(line[len("#PART# "):]))
+            except ValueError:
+                pass
+        elif line.startswith("{"):
+            try:
+                result = json.loads(line)
+            except ValueError:
+                pass
+    if result is None and error is None:
+        error = "inner bench produced no final JSON line"
+    return result, partials, error
+
+
+def _assemble_partial(partials: dict, error: str) -> dict:
+    """Build a best-effort result from streamed partials after a hang."""
+    result = {
+        "metric": "rx_grid_points_per_s_per_chip",
+        "value": 0.0,
+        "unit": "points/s/chip",
+        "vs_baseline": 0.0,
+        "partial": True,
+        "error": error,
+    }
+    result.update(partials)
+    return result
+
+
+def main() -> int:
+    """Wrapper entry: ALWAYS prints one JSON line and returns 0."""
+    attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "4"))
+    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "180"))
+    device_timeout = float(os.environ.get("BENCH_DEVICE_TIMEOUT", "3600"))
+    cpu_timeout = float(os.environ.get("BENCH_CPU_TIMEOUT", "1800"))
+    force_cpu = os.environ.get("BENCH_FORCE_CPU") == "1"
+
+    device_error = None
+    if not force_cpu and _probe_with_retry(attempts, probe_timeout):
+        result, partials, error = _run_inner({}, device_timeout)
+        if result is not None:
+            print(json.dumps(result))
+            return 0
+        _log(f"device bench failed: {error}; re-probing for one retry")
+        if _probe_with_retry(1, probe_timeout):
+            result2, partials2, error2 = _run_inner({}, device_timeout)
+            if result2 is not None:
+                print(json.dumps(result2))
+                return 0
+            if len(partials2) > len(partials):
+                partials, error = partials2, error2
+        if partials.get("value", 0):
+            # The headline metric was measured before the hang: report it
+            # (with the partial flag) rather than discarding device data.
+            print(json.dumps(_assemble_partial(partials, error)))
+            return 0
+        device_error = f"device bench failed after retry: {error}"
+    elif not force_cpu:
+        device_error = f"device probe failed after {attempts} attempts"
+
+    # ---- CPU fallback: interpreter-mode sanity numbers ----------------
+    _log(f"falling back to CPU ({device_error or 'BENCH_FORCE_CPU=1'})")
+    # Unsetting PALLAS_AXON_POOL_IPS keeps the axon plugin from
+    # registering at all in the child, so JAX_PLATFORMS=cpu holds.
+    cpu_env = {"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": None}
+    if "BENCH_SIZE" not in os.environ:
+        cpu_env["BENCH_SIZE"] = "128"  # CI-validated size/time envelope
+    if "BENCH_BASELINE_SIZE" not in os.environ:
+        cpu_env["BENCH_BASELINE_SIZE"] = "64"
+    cpu_env["BENCH_FULL"] = "0"  # the sweep is a TPU artifact; skip on CPU
+    result, partials, error = _run_inner(cpu_env, cpu_timeout)
+    if result is None:
+        result = _assemble_partial(
+            partials, f"cpu fallback also failed: {error}"
+        )
+    result["device"] = "cpu-fallback"
+    result["error"] = device_error or "forced CPU (BENCH_FORCE_CPU=1)"
+    print(json.dumps(result))
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv[1:]:
+        _inner_main()
+    else:
+        sys.exit(main())

@@ -1067,6 +1067,24 @@ def pallas_power_map(
     if approx is None:
         approx = ENABLE_APPROX
 
+    # These five scalars are baked into the trace and hashed as a cache
+    # key, so they must be concrete host scalars (a 0-d concrete array is
+    # coerced; a tracer gets a clear error instead of an unhashable-type
+    # crash -- differentiating w.r.t. them requires backend='xla'/'auto').
+    try:
+        alpha = float(alpha)
+        tol = float(tol)
+        patch = float(patch)
+        r_coef = float(r_coef)
+        height = float(height)
+    except (TypeError, ValueError) as exc:
+        msg = (
+            "backend='pallas' requires concrete scalar alpha/tol/patch/"
+            "r_coef/height (they are baked into the kernel); to trace or"
+            " differentiate w.r.t. them use backend='xla'"
+        )
+        raise ValueError(msg) from exc
+
     if jax.config.jax_enable_x64:
         msg = (
             "the fused Pallas kernels are float32-only (TPU VPU-native);"

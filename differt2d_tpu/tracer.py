@@ -770,6 +770,19 @@ def _pallas_eligible(scene, kwargs: dict) -> bool:
         return False
     if kwargs.get("many", 1) != 1:
         return False
+    # The fused dispatch bakes (alpha, tol, patch, r_coef, height) into
+    # the trace and hashes them as a cache key, so they must be concrete
+    # host scalars here. A JAX tracer (e.g. under jax.grad over alpha) or
+    # a non-scalar array must take the XLA path, which treats them as
+    # runtime inputs.
+    for name in ("alpha", "tol", "patch", "r_coef", "height"):
+        value = kwargs.get(name)
+        if value is None:
+            continue
+        try:
+            float(value)  # py/np scalars and concrete 0-d arrays only
+        except (TypeError, ValueError):
+            return False
     function = kwargs.get("function", hard_sigmoid)
     from .logic import sigmoid as _sigmoid
 

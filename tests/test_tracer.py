@@ -275,3 +275,55 @@ def test_power_map_validates_grid_shapes():
         tracer.power_map(scene, jnp.zeros((3, 4)), jnp.zeros((4, 3)))
     with pytest.raises(TypeError, match="2-D"):
         tracer.power_map(scene, jnp.zeros(5), jnp.zeros(5))
+
+
+def test_array_scalars_dispatch(grids):
+    """Concrete array-valued alpha/tol/... must not crash the fused
+    dispatch cache (it hashes these scalars): 0-d arrays are coerced and
+    the map matches the plain-float call (ADVICE r2, pallas_kernels
+    _get_entry)."""
+    scene = Scene.basic_scene()
+    X, Y = grids
+    plain = tracer.power_map(scene, X, Y, max_order=1, approx=True, alpha=100.0)
+    arr = tracer.power_map(
+        scene, X, Y, max_order=1, approx=True,
+        alpha=jnp.asarray(100.0), tol=jnp.float32(1e-2),
+    )
+    chex.assert_trees_all_close(plain, arr, rtol=1e-6)
+
+
+def test_grad_wrt_alpha_falls_back_to_xla(grids):
+    """Differentiating w.r.t. alpha makes it a tracer: dispatch must route
+    to the XLA path (which takes alpha as a runtime input), not crash on
+    an unhashable cache key."""
+    scene = Scene.basic_scene()
+    X, Y = grids
+
+    def total(alpha):
+        return jnp.sum(
+            tracer.power_map(scene, X, Y, max_order=1, approx=True, alpha=alpha)
+        )
+
+    g = jax.grad(total)(50.0)
+    assert jnp.isfinite(g)
+    # Finite-difference cross-check that the fallback computes a real
+    # derivative, not a zero from a baked constant.
+    eps = 1e-2
+    fd = (total(50.0 + eps) - total(50.0 - eps)) / (2 * eps)
+    chex.assert_trees_all_close(g, fd, rtol=5e-2, atol=1e-4)
+
+
+def test_forced_pallas_rejects_tracer_alpha(grids):
+    scene = Scene.basic_scene()
+    X, Y = grids
+
+    def total(alpha):
+        return jnp.sum(
+            tracer.power_map(
+                scene, X, Y, max_order=1, approx=True, alpha=alpha,
+                backend="pallas",
+            )
+        )
+
+    with pytest.raises(ValueError, match="concrete scalar"):
+        jax.grad(total)(50.0)

@@ -593,6 +593,21 @@ def full_config_sweep() -> dict:
     if pct is not None:
         _set("cfg6_pct_vpu_peak", pct)
 
+    # Config 7: vendored OSM-style city extract (136 oblique walls, concave
+    # L/U/T footprints) -- realism upgrade over config 6's Manhattan grid.
+    extract = Scene.city_extract_scene()
+    Xe, Ye = jnp.meshgrid(
+        jnp.linspace(0.01, 0.99, 256), jnp.linspace(0.01, 0.99, 256)
+    )
+    t = chained_grid_map_time(
+        lambda Xg, Yg: power_map(extract, Xg, Yg, max_order=1, approx=True),
+        Xe, Ye, k=5, reps=3,
+    )
+    _set("cfg7_city_extract_136walls_order1_pts_per_s", round(256 * 256 / t, 1))
+    pct = _pct_vpu_peak(extract, 256 * 256, t, max_order=1, approx=True)
+    if pct is not None:
+        _set("cfg7_pct_vpu_peak", pct)
+
     # Config 5: RIS phase-gradient optimization step (MPT).
     base = Scene.square_scene()
     Xr, Yr = jnp.meshgrid(

@@ -59,7 +59,16 @@ __all__ = [
     "FLOAT_LIKE",
     "SCALAR_FLOAT",
     "SCALAR_INT",
+    "SCALAR_INT_STRICT",
     "OPT_BOOL",
+    "XY_ARRAY",
+    "OPT_XY_ARRAY",
+    "FLOAT_ARRAY",
+    "KEY_ARRAY",
+    "OPT_KEY_ARRAY",
+    "CALLABLE",
+    "OPT_CALLABLE",
+    "GEOJSON_SOURCE",
     "literal_spec",
 ]
 
@@ -145,7 +154,16 @@ class Spec:
     an exact string-literal set; ``allow_none`` admits ``None``.
     """
 
-    __slots__ = ("label", "kinds", "py_types", "scalar", "literals", "allow_none")
+    __slots__ = (
+        "label",
+        "kinds",
+        "py_types",
+        "scalar",
+        "literals",
+        "allow_none",
+        "predicate",
+        "last_dim",
+    )
 
     def __init__(
         self,
@@ -155,6 +173,8 @@ class Spec:
         scalar: bool = False,
         literals: Optional[frozenset] = None,
         allow_none: bool = False,
+        predicate: Optional[Callable[[Any], bool]] = None,
+        last_dim: Optional[int] = None,
     ):
         self.label = label
         self.kinds = frozenset(kinds)
@@ -162,10 +182,14 @@ class Spec:
         self.scalar = scalar
         self.literals = literals
         self.allow_none = allow_none
+        self.predicate = predicate
+        self.last_dim = last_dim
 
     def _ok(self, value: Any) -> bool:
         if value is None:
             return self.allow_none
+        if self.predicate is not None:
+            return bool(self.predicate(value))
         if self.literals is not None:
             return isinstance(value, str) and value in self.literals
         # Plain-Python scalars. bool is an int subclass: only accept it
@@ -181,6 +205,12 @@ class Spec:
             return False
         if _dtype_kind(dtype) not in self.kinds:
             return False
+        if self.last_dim is not None:
+            shape = getattr(value, "shape", None)
+            # Trailing-axis constraint (jaxtyping "... 2" analog); known
+            # for tracers too since shapes are static under jit/vmap.
+            if shape is None or len(shape) == 0 or shape[-1] != self.last_dim:
+                return False
         if self.scalar:
             shape = getattr(value, "shape", None)
             # Concrete arrays must be 0-d; abstract tracers are exempt
@@ -221,6 +251,38 @@ SCALAR_INT = Spec(
     scalar=True,
 )
 OPT_BOOL = Spec("Optional[bool]", py_types=(bool,), allow_none=True)
+XY_ARRAY = Spec("Float[Array, '... 2']", kinds=frozenset("f"), last_dim=2)
+OPT_XY_ARRAY = Spec(
+    "Optional[Float[Array, '... 2']]",
+    kinds=frozenset("f"),
+    last_dim=2,
+    allow_none=True,
+)
+FLOAT_ARRAY = Spec("Float[Array, '...']", kinds=frozenset("f"))
+def _is_prng_key(value: Any) -> bool:
+    dtype = getattr(value, "dtype", None)
+    if dtype is None:
+        return False
+    if str(dtype).startswith("key"):  # new-style typed keys (key<fry>)
+        return True
+    try:
+        return _dtype_kind(dtype) == "u"  # raw uint32 key pairs
+    except TypeError:
+        return False
+
+
+KEY_ARRAY = Spec("PRNGKeyArray", predicate=_is_prng_key)
+OPT_KEY_ARRAY = Spec(
+    "Optional[PRNGKeyArray]", predicate=_is_prng_key, allow_none=True
+)
+CALLABLE = Spec("Callable", predicate=callable)
+OPT_CALLABLE = Spec("Optional[Callable]", predicate=callable, allow_none=True)
+SCALAR_INT_STRICT = Spec("int", py_types=(int,))
+GEOJSON_SOURCE = Spec(
+    "Union[str, bytes, bytearray, Readable]",
+    predicate=lambda v: isinstance(v, (str, bytes, bytearray))
+    or callable(getattr(v, "read", None)),
+)
 
 
 def literal_spec(*values: str) -> Spec:

@@ -35,6 +35,16 @@ import jax
 import jax.numpy as jnp
 
 from ._module import field, pytree_dataclass
+from ._runtime_typing import (
+    FLOAT_ARRAY,
+    KEY_ARRAY,
+    OPT_BOOL,
+    OPT_KEY_ARRAY,
+    SCALAR_FLOAT,
+    Spec,
+    XY_ARRAY,
+    typecheck,
+)
 from ._typing import ScalarFloat, ScalarInt
 from .abc import Interactable, Object, Plottable
 from .defaults import DEFAULT_PATCH
@@ -74,6 +84,19 @@ def unstack_leaves(pytrees) -> list:
     return [treedef.unflatten(leaf) for leaf in zip(*leaves)]
 
 
+#: ``tx`` / ``rx`` arguments accept a bare ``[2]`` float array or a Point
+#: (reference solver classmethods take eqx Point modules,
+#: ``geometry.py:1014-1021``).
+_POINT_LIKE = Spec(
+    "Union[Float[Array, '... 2'], Point]",
+    predicate=lambda v: isinstance(v, Point) or XY_ARRAY._ok(v),
+)
+
+
+@typecheck(
+    P1=XY_ARRAY, P2=XY_ARRAY, P3=XY_ARRAY, P4=XY_ARRAY,
+    tol=SCALAR_FLOAT, approx=OPT_BOOL,
+)
 def segments_intersect(
     P1: jax.Array,
     P2: jax.Array,
@@ -91,6 +114,7 @@ def segments_intersect(
     return _ops.segments_intersect(P1, P2, P3, P4, tol=tol, approx=approx, **kwargs)
 
 
+@typecheck(points=XY_ARRAY)
 def path_length(points: jax.Array) -> jax.Array:
     """Polyline length with eps-guarded gradient (reference ``geometry.py:178-203``).
 
@@ -103,6 +127,7 @@ def path_length(points: jax.Array) -> jax.Array:
     return _ops.path_length(points)
 
 
+@typecheck(vector=FLOAT_ARRAY)
 def normalize(vector: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Unit vector and length, zero-safe (reference ``geometry.py:206-230``).
 
@@ -118,6 +143,7 @@ def normalize(vector: jax.Array) -> tuple[jax.Array, jax.Array]:
     return _ops.normalize(vector)
 
 
+@typecheck(points=XY_ARRAY, target=FLOAT_ARRAY)
 def closest_point(
     points: jax.Array, target: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
@@ -358,6 +384,7 @@ class Path(Plottable):
     )
 
     @classmethod
+    @typecheck(tx=_POINT_LIKE, rx=_POINT_LIKE, key=OPT_KEY_ARRAY)
     def from_tx_objects_rx(
         cls,
         tx: Union[jax.Array, Point],
@@ -539,6 +566,7 @@ class ImagePath(Path):
     """
 
     @classmethod
+    @typecheck(tx=_POINT_LIKE, rx=_POINT_LIKE, key=OPT_KEY_ARRAY)
     def from_tx_objects_rx(
         cls,
         tx: Union[jax.Array, Point],
@@ -591,6 +619,7 @@ class FermatPath(Path):
     """
 
     @classmethod
+    @typecheck(tx=_POINT_LIKE, rx=_POINT_LIKE, key=KEY_ARRAY)
     def from_tx_objects_rx(
         cls,
         tx: Union[jax.Array, Point],
@@ -635,6 +664,7 @@ class MinPath(Path):
     """
 
     @classmethod
+    @typecheck(tx=_POINT_LIKE, rx=_POINT_LIKE, key=KEY_ARRAY)
     def from_tx_objects_rx(
         cls,
         tx: Union[jax.Array, Point],

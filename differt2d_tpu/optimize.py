@@ -15,7 +15,16 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ._runtime_typing import (
+    CALLABLE,
+    FLOAT_ARRAY,
+    KEY_ARRAY,
+    SCALAR_INT_STRICT,
+    typecheck,
+)
 
+
+@typecheck(fun=CALLABLE, x0=FLOAT_ARRAY, steps=SCALAR_INT_STRICT)
 def minimize(
     fun: Callable[..., jax.Array],
     x0: jax.Array,
@@ -38,7 +47,11 @@ def minimize(
     :func:`_minimize_implicit`): exact at a converged stationary point,
     O(1) memory instead of O(steps) residuals, and no transposed scan.
     Differentiable quantities must then be passed via ``args`` (not
-    closed over).
+    closed over), and ``x0`` is treated as NON-differentiable: the
+    implicit solution map depends on the initial iterate only through
+    basin selection (piecewise-constant), so its tangent is dropped --
+    a gradient w.r.t. ``x0`` under ``implicit=True`` is silently zero.
+    Use the default (unrolled) mode to differentiate w.r.t. ``x0``.
 
     >>> import jax.numpy as jnp
     >>> from differt2d_tpu.optimize import minimize
@@ -89,6 +102,12 @@ def _minimize_implicit(fun, x0, args, steps, optimizer):
     @solve.defjvp
     def solve_jvp(primals, tangents):
         x0, args_p = primals
+        # The x0 tangent is dropped by design: at a converged stationary
+        # point the solution map is locally independent of the initial
+        # iterate (it only selects the basin), so d(x*)/d(x0) = 0.
+        # Consequence (documented in :func:`minimize`): gradients w.r.t.
+        # x0 under implicit=True are zero -- correct only at exact
+        # convergence.
         _, dargs = tangents
         x, loss = _primal(x0, args_p)
         grad_fun = jax.grad(fun)
@@ -110,6 +129,7 @@ def _minimize_implicit(fun, x0, args, steps, optimizer):
     return solve(x0, tuple(args))
 
 
+@typecheck(fun=CALLABLE, key=KEY_ARRAY, n=SCALAR_INT_STRICT)
 def minimize_random_uniform(
     fun: Callable[..., jax.Array],
     key: jax.Array,
@@ -124,6 +144,9 @@ def minimize_random_uniform(
     return minimize(fun, x0, **kwargs)
 
 
+@typecheck(
+    fun=CALLABLE, key=KEY_ARRAY, n=SCALAR_INT_STRICT, many=SCALAR_INT_STRICT
+)
 def minimize_many_random_uniform(
     fun: Callable[..., jax.Array],
     key: jax.Array,

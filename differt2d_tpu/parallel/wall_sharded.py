@@ -19,9 +19,13 @@ Pixels shard over the first mesh axis as usual, so an ``(n_grid,
 n_wall)`` mesh scales both the pixel count and the scene size. All
 collectives ride ICI inside ``jax.shard_map``.
 
-Scope: order <= 1 (LOS + single reflections) on wall-only scenes -- the
-regime where scenes get large (city maps); higher orders and RIS/vertex
-objects use the replicated-wall paths.
+Scope: order <= 1 (LOS + single reflections) on wall-only scenes,
+forward maps only. **This is a special case kept for scenes whose wall
+table itself is too hot to replicate**; the recommended scene-scale
+path is :func:`differt2d_tpu.parallel.power_map_cand_sharded`, which
+supports any order, mixed object kinds and gradients with strictly less
+communication (one ``psum``; no bounce-point all-gather) -- see
+``docs/architecture.md``.
 """
 
 from __future__ import annotations

@@ -24,6 +24,8 @@ from __future__ import annotations
 from functools import lru_cache
 from typing import Optional, Sequence
 
+from .._runtime_typing import SCALAR_INT_STRICT, typecheck
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -86,6 +88,11 @@ def candidates_for_order(
     return _decode_candidates(allowed, order)
 
 
+@typecheck(
+    num_nodes=SCALAR_INT_STRICT,
+    min_order=SCALAR_INT_STRICT,
+    max_order=SCALAR_INT_STRICT,
+)
 def path_candidate_matrices(
     num_nodes: int,
     min_order: int = 0,
@@ -108,6 +115,11 @@ def path_candidate_matrices(
     }
 
 
+@typecheck(
+    num_nodes=SCALAR_INT_STRICT,
+    min_order=SCALAR_INT_STRICT,
+    max_order=SCALAR_INT_STRICT,
+)
 def all_path_candidates(
     num_nodes: int,
     min_order: int = 0,

@@ -31,6 +31,16 @@ import jax.numpy as jnp
 from ._module import field, pytree_dataclass, tree_at
 from ._typing import ScalarFloat
 from .abc import Interactable, Loc, Object, Plottable
+from ._runtime_typing import (
+    CALLABLE,
+    FLOAT_ARRAY,
+    KEY_ARRAY,
+    OPT_BOOL,
+    OPT_CALLABLE,
+    OPT_KEY_ARRAY,
+    SCALAR_INT_STRICT,
+    typecheck,
+)
 from .geometry import (
     FermatPath,
     ImagePath,
@@ -51,6 +61,7 @@ PathFun = Callable[..., jax.Array]
 
 SceneName = Literal[
     "basic_scene",
+    "city_extract_scene",
     "city_scene",
     "square_scene",
     "square_scene_with_obstacle",
@@ -188,12 +199,16 @@ class Scene(Plottable):
         return cls(objects=tuple(unstack_leaves(objects)))
 
     @classmethod
+    @typecheck(walls=FLOAT_ARRAY)
     def from_walls_array(cls, walls: jax.Array) -> "Scene":
         """Empty scene from a ``[num_walls, 2, 2]`` wall-coordinate array."""
         return cls(objects=tuple(Wall(xys=xys) for xys in walls))
 
     # -- IO / factories (reference scene.py:428-935) ------------------------
 
+    # NOTE: no @typecheck here -- the reference's singledispatch raises
+    # NotImplementedError for unsupported source types (reference
+    # ``scene.py:431-433``) and tests pin that exact behavior.
     @classmethod
     def from_geojson(
         cls,
@@ -239,6 +254,12 @@ class Scene(Plottable):
         return getattr(cls, scene_name)(*args, **kwargs)
 
     @classmethod
+    @typecheck(
+        key=KEY_ARRAY,
+        n_transmitters=SCALAR_INT_STRICT,
+        n_walls=SCALAR_INT_STRICT,
+        n_receivers=SCALAR_INT_STRICT,
+    )
     def random_uniform_scene(
         cls,
         n_transmitters: int = 1,
@@ -349,6 +370,33 @@ class Scene(Plottable):
             Wall(xys=jnp.array([[x1, y1], [x0, y1]])),
             Wall(xys=jnp.array([[x0, y1], [x0, y0]])),
         )
+
+    @classmethod
+    def city_extract_scene(
+        cls, tx_loc: Loc = "NW", rx_loc: Loc = "SE"
+    ) -> "Scene":
+        """City scene from the vendored OSM-style building-footprint
+        extract (``differt2d_tpu/data/city_extract.geojson``): 23
+        buildings / 136 walls across three street-grid orientations,
+        every wall oblique, with concave L/U/T footprints whose
+        re-entrant corners stress the solvers and visibility test in
+        ways :meth:`city_scene`'s axis-aligned Manhattan grid cannot.
+        The regime of the reference's COST2100 city notebook
+        (``docs/source/notebooks/cost20120_helsinki_model.ipynb`` --
+        which itself trains on randomly rotated square-scene variants,
+        cell 12). Regenerate with ``python tools/gen_city_extract.py``.
+
+        >>> from differt2d_tpu.scene import Scene
+        >>> len(Scene.city_extract_scene().objects)
+        136
+        """
+        import os
+
+        path = os.path.join(
+            os.path.dirname(__file__), "data", "city_extract.geojson"
+        )
+        with open(path) as fp:
+            return cls.from_geojson(fp.read(), tx_loc=tx_loc, rx_loc=rx_loc)
 
     @classmethod
     def city_scene(
@@ -515,6 +563,11 @@ class Scene(Plottable):
         """Cartesian product of transmitters and receivers."""
         return product(self.transmitters.items(), self.receivers.items())
 
+    @typecheck(
+        min_order=SCALAR_INT_STRICT,
+        max_order=SCALAR_INT_STRICT,
+        filter_objects=OPT_CALLABLE,
+    )
     def all_path_candidates(
         self,
         min_order: int = 0,
@@ -664,6 +717,7 @@ class Scene(Plottable):
 
     # -- accumulators (reference scene.py:1250-1953) ------------------------
 
+    @typecheck(fun=CALLABLE, approx=OPT_BOOL, key=OPT_KEY_ARRAY)
     def accumulate_over_paths(
         self,
         fun: PathFun,
@@ -939,6 +993,14 @@ class Scene(Plottable):
             ]
         return ((name, run(s)) for name, s in singles)
 
+    @typecheck(
+        X=FLOAT_ARRAY,
+        Y=FLOAT_ARRAY,
+        fun=CALLABLE,
+        approx=OPT_BOOL,
+        key=OPT_KEY_ARRAY,
+        filter_objects=OPT_CALLABLE,
+    )
     def accumulate_on_transmitters_grid_over_paths(
         self,
         X: jax.Array,
@@ -987,6 +1049,14 @@ class Scene(Plottable):
             **kwargs,
         )
 
+    @typecheck(
+        X=FLOAT_ARRAY,
+        Y=FLOAT_ARRAY,
+        fun=CALLABLE,
+        approx=OPT_BOOL,
+        key=OPT_KEY_ARRAY,
+        filter_objects=OPT_CALLABLE,
+    )
     def accumulate_on_receivers_grid_over_paths(
         self,
         X: jax.Array,

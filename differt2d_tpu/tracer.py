@@ -28,6 +28,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ._module import field, pytree_dataclass
+from ._runtime_typing import (
+    OPT_BOOL,
+    OPT_CALLABLE,
+    OPT_KEY_ARRAY,
+    SCALAR_INT_STRICT,
+    TypeCheckError,
+    XY_ARRAY,
+    literal_spec,
+    typecheck,
+)
 from .defaults import DEFAULT_ALPHA, DEFAULT_HEIGHT, DEFAULT_PATCH, DEFAULT_R_COEF
 from .geometry import RIS, Vertex, Wall
 from .logic import hard_sigmoid
@@ -801,6 +811,16 @@ def _pallas_eligible(scene, kwargs: dict) -> bool:
     return True
 
 
+@typecheck(
+    tx=XY_ARRAY,
+    rx=XY_ARRAY,
+    approx=OPT_BOOL,
+    key=OPT_KEY_ARRAY,
+    min_order=SCALAR_INT_STRICT,
+    max_order=SCALAR_INT_STRICT,
+    filter_objects=OPT_CALLABLE,
+    solver=literal_spec("image", "fermat", "mpt"),
+)
 def trace_paths(
     scene,
     tx: jax.Array,
@@ -884,6 +904,15 @@ def trace_paths(
     return out
 
 
+@typecheck(
+    approx=OPT_BOOL,
+    key=OPT_KEY_ARRAY,
+    min_order=SCALAR_INT_STRICT,
+    max_order=SCALAR_INT_STRICT,
+    filter_objects=OPT_CALLABLE,
+    solver=literal_spec("image", "fermat", "mpt"),
+    backend=literal_spec("auto", "xla", "pallas"),
+)
 def power_map(
     scene,
     X: jax.Array,
@@ -929,10 +958,10 @@ def power_map(
     Y = jnp.asarray(Y)
     if X.shape != Y.shape:
         msg = f"X and Y must have the same shape, got {X.shape} vs {Y.shape}"
-        raise TypeError(msg)
+        raise TypeCheckError(msg)
     if X.ndim != 2:
         msg = f"X and Y must be 2-D grids, got ndim={X.ndim}"
-        raise TypeError(msg)
+        raise TypeCheckError(msg)
 
     # Resolve the approx tri-state NOW (not at trace time inside
     # make_pixels_fn): the run cache below keys on kwargs, so an

@@ -7,6 +7,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
+from ._runtime_typing import SCALAR_FLOAT, typecheck
 from .defaults import DEFAULT_HEIGHT, DEFAULT_R_COEF
 
 P0: float = 100.0
@@ -14,6 +15,7 @@ P0: float = 100.0
 (reference ``utils.py:12``)."""
 
 
+@typecheck(r_coef=SCALAR_FLOAT, height=SCALAR_FLOAT)
 def received_power(
     transmitter,
     receiver,

@@ -166,11 +166,14 @@ def filter_jit(fn=None, **jit_kwargs):
         flat, treedef = jax.tree_util.tree_flatten((args, kwargs))
         dyn_mask = tuple(_is_dynamic(x) for x in flat)
         static = tuple(x for x, d in zip(flat, dyn_mask) if not d)
+        # The tuple itself is the key (dict resolves hash collisions via
+        # equality -- a raw integer hash() could silently reuse the wrong
+        # compiled function on a collision between static configs).
+        key = (treedef, dyn_mask, static)
         try:
-            key = hash((treedef, dyn_mask, static))
+            jitted = cache.get(key)
         except TypeError:  # unhashable static leaf: run uncompiled
             return fn(*args, **kwargs)
-        jitted = cache.get(key)
         if jitted is None:
 
             def inner(dyn_leaves):

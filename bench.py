@@ -446,6 +446,7 @@ def full_config_sweep() -> dict:
     import optax
 
     from differt2d_tpu.geometry import MinPath, Point, RIS, Vertex
+    from differt2d_tpu.optimize import value_and_grad_fwd
     from differt2d_tpu.scene import Scene
     from differt2d_tpu.tracer import power_map
     from differt2d_tpu.logic import sigmoid
@@ -548,6 +549,27 @@ def full_config_sweep() -> dict:
     t = chained_step_time(opt_step_implicit)
     _set("cfg3_mpt_tx_opt_implicit_s_per_step", round(t, 4))
 
+    # Same step with FORWARD-mode gradients (2 TX scalars -> 2 vmapped
+    # JVPs; exact unrolled-argmin semantics, no transposed scan).
+    loss_vag_fwd = value_and_grad_fwd(loss)
+
+    @jax.jit
+    def mpt_step_fwd(tx, state, alpha):
+        v, g = loss_vag_fwd(tx, alpha)
+        updates, state = optimizer.update(g, state)
+        return tx + updates, state, v
+
+    tx_f = jnp.array([0.3, 0.6])
+    state_f = optimizer.init(tx_f)
+
+    def opt_step_fwd():
+        nonlocal tx_f, state_f
+        tx_f, state_f, v = mpt_step_fwd(tx_f, state_f, 50.0)
+        return v
+
+    t = chained_step_time(opt_step_fwd)
+    _set("cfg3_mpt_tx_opt_fwd_s_per_step", round(t, 4))
+
     # Config 4: vertex diffraction on a GeoJSON street scene.  The
     # vertex-only Fermat candidates pin every bounce (zero unknowns), so
     # auto-dispatch routes this to the fused image kernel.
@@ -608,7 +630,11 @@ def full_config_sweep() -> dict:
     if pct is not None:
         _set("cfg7_pct_vpu_peak", pct)
 
-    # Config 5: RIS phase-gradient optimization step (MPT).
+    # Config 5: RIS phase-gradient optimization step (MPT).  No backend
+    # pin: the scene carries the traced phi, so auto dispatch resolves
+    # to the XLA tracer (the Pallas solver kernel bakes concrete
+    # scalars); MPT itself is Pallas-auto-eligible for inference maps
+    # under the PARITY.md tolerance contract.
     base = Scene.square_scene()
     Xr, Yr = jnp.meshgrid(
         jnp.linspace(0.05, 0.45, 16), jnp.linspace(0.05, 0.95, 16)
@@ -628,15 +654,19 @@ def full_config_sweep() -> dict:
             approx=True,
             key=key,
             filter_objects=lambda o: isinstance(o, RIS),
-            backend="xla",
         )
         return -jnp.sum(Z)
 
     ris_opt = optax.chain(optax.adam(0.05), optax.zero_nans())
+    ris_vag_fwd = value_and_grad_fwd(ris_loss)
 
+    # Headline step: FORWARD-mode phi gradient (1 scalar parameter ->
+    # one JVP streams the 100-step solver scan once, no stored
+    # trajectory, no transposed scan). Same unrolled-argmin derivative
+    # as reverse mode (optimize.value_and_grad_fwd docstring).
     @jax.jit
     def ris_step(phi, state):
-        v, g = jax.value_and_grad(ris_loss)(phi)
+        v, g = ris_vag_fwd(phi)
         updates, state = ris_opt.update(g, state)
         return phi + updates, state, v
 
@@ -650,6 +680,24 @@ def full_config_sweep() -> dict:
 
     t = chained_step_time(ris_step_fn, k=5)
     _set("cfg5_ris_phase_opt_s_per_step", round(t, 4))
+
+    # Reverse-mode comparison row (the round-2 methodology).
+    @jax.jit
+    def ris_step_rev(phi, state):
+        v, g = jax.value_and_grad(ris_loss)(phi)
+        updates, state = ris_opt.update(g, state)
+        return phi + updates, state, v
+
+    phi_r = jnp.array(0.5)
+    state_r = ris_opt.init(phi_r)
+
+    def ris_step_rev_fn():
+        nonlocal phi_r, state_r
+        phi_r, state_r, v = ris_step_rev(phi_r, state_r)
+        return v
+
+    t = chained_step_time(ris_step_rev_fn, k=5)
+    _set("cfg5_ris_phase_opt_rev_s_per_step", round(t, 4))
 
     return out
 

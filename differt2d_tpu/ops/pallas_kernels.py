@@ -76,6 +76,89 @@ def _seg_intersect(ax, ay, bx, by, cx, cy, dx, dy, soft, alpha, tol=0.005):
     return jnp.minimum(lhs, rhs) if soft else (lhs & rhs)
 
 
+def _soft_grad(x, alpha, sigmoid: bool):
+    """d activation(x) / dx (reference logic.py:220-255 derivatives).
+
+    hard_sigmoid(alpha x) = relu6(alpha x + 3)/6: slope alpha/6 inside the
+    band |alpha x| < 3, zero outside (ties at the band edge are
+    measure-zero for continuous x).
+    """
+    if sigmoid:
+        s = jax.nn.sigmoid(alpha * x)
+        return alpha * s * (1.0 - s)
+    ax = alpha * x
+    return jnp.where((ax > -3.0) & (ax < 3.0), alpha / 6.0, 0.0)
+
+
+def _seg_intersect_vag(ax, ay, bx, by, cx, cy, dx, dy, soft, alpha, tol=0.005):
+    """:func:`_seg_intersect` plus closed-form partials w.r.t. (c, d).
+
+    The wall (a, b) is constant; the tested path segment (c, d) moves with
+    the pixel.  Returns ``(hit, dhit_dc, dhit_dd)`` with each gradient a
+    2-tuple of tiles.  The derivative flows only through the argmin of the
+    four in-range activations (exactly the select structure reverse mode
+    produces); every partial reuses the forward's ``t``/``den`` values:
+
+        t_a = num_a / den,  dt_a/de = (dnum_a/de - t_a * dden/de) / den
+
+    with ``dnum/de`` and ``dden/de`` simple coordinate differences (the
+    numerators are bilinear, the denominator linear, in (c, d)).
+    """
+    avx, avy = bx - ax, by - ay
+    bvx, bvy = cx - dx, cy - dy
+    cvx, cvy = ax - cx, ay - cy
+    num_a = bvy * cvx - bvx * cvy
+    num_b = avx * cvy - avy * cvx
+    den = avy * bvx - avx * bvy
+    den_zero = den == 0.0
+    safe_den = jnp.where(den_zero, 1.0, den)
+    inv_den = jnp.where(den_zero, 0.0, 1.0 / safe_den)
+    t_a = jnp.where(den_zero, jnp.inf, num_a / safe_den)
+    t_b = jnp.where(den_zero, jnp.inf, num_b / safe_den)
+
+    def inr(t):
+        if soft:
+            ge = _soft(t + tol, alpha, soft == "sigmoid")
+            le = _soft(1.0 + tol - t, alpha, soft == "sigmoid")
+            return jnp.minimum(ge, le), jnp.where(
+                ge < le,
+                _soft_grad(t + tol, alpha, soft == "sigmoid"),
+                -_soft_grad(1.0 + tol - t, alpha, soft == "sigmoid"),
+            )
+        return (t >= -tol) & (t <= 1.0 + tol), None
+
+    inr_a, dinr_a = inr(t_a)
+    inr_b, dinr_b = inr(t_b)
+    if not soft:
+        return inr_a & inr_b, None, None
+    hit = jnp.minimum(inr_a, inr_b)
+    # dhit/dt_a and dhit/dt_b (argmin select; inf t is saturated -> 0).
+    g_a = jnp.where(inr_a < inr_b, dinr_a, 0.0)
+    g_b = jnp.where(inr_a < inr_b, 0.0, dinr_b)
+    # num_a = bvy*cvx - bvx*cvy, bv = c - d, cv = a - c:
+    #   d num_a/dc = (-bvy - cvy, cvx + bvx),  d num_a/dd = (cvy, -cvx)
+    # num_b = avx*cvy - avy*cvx:
+    #   d num_b/dc = (avy, -avx),              d num_b/dd = 0
+    # den = avy*bvx - avx*bvy:
+    #   d den/dc = (avy, -avx),                d den/dd = (-avy, avx)
+    # Zero (not inf) t in the partials at den == 0: the gradient there is
+    # already killed by inv_den = 0 and saturated activations, but
+    # inf * 0 = NaN would poison the select chain.
+    ts_a = jnp.where(den_zero, 0.0, t_a)
+    ts_b = jnp.where(den_zero, 0.0, t_b)
+    dta_cx = (-bvy - cvy - ts_a * avy) * inv_den
+    dta_cy = (cvx + bvx + ts_a * avx) * inv_den
+    dta_dx = (cvy + ts_a * avy) * inv_den
+    dta_dy = (-cvx - ts_a * avx) * inv_den
+    dtb_cx = (avy - ts_b * avy) * inv_den
+    dtb_cy = (-avx + ts_b * avx) * inv_den
+    dtb_dx = (ts_b * avy) * inv_den
+    dtb_dy = (-ts_b * avx) * inv_den
+    dhit_dc = (g_a * dta_cx + g_b * dtb_cx, g_a * dta_cy + g_b * dtb_cy)
+    dhit_dd = (g_a * dta_dx + g_b * dtb_dx, g_a * dta_dy + g_b * dtb_dy)
+    return hit, dhit_dc, dhit_dd
+
+
 def _norm2(x, y):
     return jnp.sqrt(x * x + y * y)
 
@@ -327,13 +410,288 @@ def build_power_map_kernel(
 
             return contrib
 
+        def make_contrib_vag(order, cand):
+            """``contrib_vag(px, py) -> (valid*power, d/dpx, d/dpy)``:
+            forward pass identical to :func:`make_contrib` plus
+            HAND-DERIVED pixel partials folded into the same sweep (no
+            ``jax.vjp`` reverse program, no residual live-set).  Analytic
+            structure exploited:
+
+            * each bounce point moves along its wall LINE, so its pixel
+              Jacobian is rank-1: ``b_j = a_j + t_j d_j`` with a single
+              gradient 2-vector ``grad t_j`` propagated down the backward
+              recursion (~10 flops/bounce);
+            * the image-method solution makes the unfolded path length
+              stationary along every wall line (reflection law holds as an
+              identity in the pixel), so ``d r/dp`` collapses to the unit
+              vector of the FINAL segment -- the whole length chain costs
+              2 divisions instead of a reverse sweep;
+            * the specular residual is identically zero in (px, py) for
+              wall bounces (same identity), so only RIS residuals are
+              differentiated;  XLA's value is float-noise (~1e-14), far
+              inside the equivalence tolerance (tests/test_pallas.py);
+            * min/max soft-logic combines differentiate through their
+              arg-extremum only -- running (value, grad) selects, exactly
+              the select structure XLA's reverse mode emits.
+            """
+
+            def contrib_vag(px, py):
+                zeros = jnp.zeros_like(px)
+
+                # --- forward scalar mirror images (host math)
+                images = []
+                ix, iy = txx, txy
+                for i in cand:
+                    if kinds_c[i] == KIND_VERTEX:
+                        images.append((ix, iy))
+                    else:
+                        ix, iy = mirror_scalar(ix, iy, i)
+                        images.append((ix, iy))
+
+                # --- backward bounce recursion with rank-1 Jacobians.
+                # The downstream point q starts at the pixel (dq/dp = I);
+                # after a wall bounce it lives on that wall's line
+                # (dq/dp = d_j (x) grad t_j); after a vertex it is constant.
+                ptx, pty = px, py
+                state = "P"  # "P" pixel | "R" rank-1 on prev wall | "Z" const
+                prev_d = None
+                prev_gt = None
+                bounce = [None] * order
+                bstate = [None] * order
+                for j in range(order - 1, -1, -1):
+                    i = cand[j]
+                    axw, ayw, bxw, byw = wall_scalars(i)
+                    if kinds_c[i] == KIND_VERTEX:
+                        ptx = jnp.full_like(px, axw)
+                        pty = jnp.full_like(py, ayw)
+                        state, prev_d, prev_gt = "Z", None, None
+                        bounce[j] = (ptx, pty)
+                        bstate[j] = ("Z", None, None)
+                        continue
+                    nx, ny = wall_normal(i)
+                    dxw, dyw = bxw - axw, byw - ayw
+                    dd2 = dxw * dxw + dyw * dyw
+                    dd2 = dd2 if dd2 != 0.0 else 1.0
+                    imx, imy = images[j]
+                    c_im = (axw - imx) * nx + (ayw - imy) * ny  # host scalar
+                    ux, uy = ptx - imx, pty - imy
+                    un = ux * nx + uy * ny
+                    un_zero = un == 0.0
+                    safe_un = jnp.where(un_zero, 1.0, un)
+                    vn = (axw - ptx) * nx + (ayw - pty) * ny
+                    s = jnp.where(un_zero, 0.0, vn / safe_un)
+                    bx_t = ptx + s * ux
+                    by_t = pty + s * uy
+                    # dt_j/dq: t_j = ((b - a).d)/|d|^2 with
+                    # db/dq = (c/un) (I - u n^T / un); at un == 0 the
+                    # where-guard selects b = q, i.e. db/dq = I -- match
+                    # XLA's select gradient exactly.
+                    f = jnp.where(un_zero, 0.0, c_im / safe_un)
+                    g = jnp.where(un_zero, 0.0, (ux * dxw + uy * dyw) / safe_un)
+                    vx = jnp.where(un_zero, dxw / dd2, f * (dxw - g * nx) / dd2)
+                    vy = jnp.where(un_zero, dyw / dd2, f * (dyw - g * ny) / dd2)
+                    if state == "P":
+                        gtx, gty = vx, vy
+                    elif state == "R":
+                        k = vx * prev_d[0] + vy * prev_d[1]
+                        gtx, gty = k * prev_gt[0], k * prev_gt[1]
+                    else:
+                        gtx, gty = zeros, zeros
+                    ptx, pty = bx_t, by_t
+                    state, prev_d, prev_gt = "R", (dxw, dyw), (gtx, gty)
+                    bounce[j] = (ptx, pty)
+                    bstate[j] = ("R", (dxw, dyw), (gtx, gty))
+
+                path_x = [jnp.full_like(px, txx)] + [b[0] for b in bounce] + [px]
+                path_y = [jnp.full_like(py, txy)] + [b[1] for b in bounce] + [py]
+                # dq/dp state per path point: tx const, bounces rank-1/const,
+                # pixel identity.
+                pstate = [("Z", None, None), *bstate, ("P", None, None)]
+
+                def contract(st, wx, wy):
+                    """(w . de/dp) for a path point's Jacobian state."""
+                    kind_s, d_s, gt_s = st
+                    if kind_s == "Z":
+                        return zeros, zeros
+                    if kind_s == "P":
+                        return wx, wy
+                    k = wx * d_s[0] + wy * d_s[1]
+                    return k * gt_s[0], k * gt_s[1]
+
+                # --- residual loss: forward identical; gradient only for
+                # RIS terms (wall specular residuals are identically 0).
+                loss = jnp.zeros_like(px)
+                gloss_x, gloss_y = zeros, zeros
+                has_ris = False
+                for j, i in enumerate(cand):
+                    axc, ayc = path_x[j], path_y[j]
+                    bxc, byc = path_x[j + 1], path_y[j + 1]
+                    cxc, cyc = path_x[j + 2], path_y[j + 2]
+                    if kinds_c[i] == KIND_VERTEX:
+                        continue
+                    nx, ny = wall_normal(i)
+                    rx_, ry_ = _normalize(cxc - bxc, cyc - byc)
+                    if kinds_c[i] == KIND_RIS:
+                        has_ris = True
+                        sin_a = (-rx_) * ny - (-ry_) * nx
+                        cos_a = (-rx_) * nx + (-ry_) * ny
+                        sin_p = jnp.sin(phi_ref[i])
+                        cos_p = jnp.cos(phi_ref[i])
+                        loss = loss + (sin_a - sin_p) ** 2 + (cos_a - cos_p) ** 2
+                        # d term / d rhat, then through the normalize
+                        # Jacobian (I - rhat rhat^T)/|v|, then d v = d c - d b.
+                        wx = 2.0 * (sin_a - sin_p) * (-ny) + 2.0 * (cos_a - cos_p) * (-nx)
+                        wy = 2.0 * (sin_a - sin_p) * nx + 2.0 * (cos_a - cos_p) * (-ny)
+                        vx_s, vy_s = cxc - bxc, cyc - byc
+                        vn2 = vx_s * vx_s + vy_s * vy_s
+                        v_zero = vn2 == 0.0
+                        inv_vn = jnp.where(
+                            v_zero, 0.0, 1.0 / jnp.sqrt(jnp.where(v_zero, 1.0, vn2))
+                        )
+                        rw = rx_ * wx + ry_ * wy
+                        qx = (wx - rx_ * rw) * inv_vn
+                        qy = (wy - ry_ * rw) * inv_vn
+                        cgx, cgy = contract(pstate[j + 2], qx, qy)
+                        bgx, bgy = contract(pstate[j + 1], qx, qy)
+                        gloss_x = gloss_x + cgx - bgx
+                        gloss_y = gloss_y + cgy - bgy
+                    else:
+                        ivx, ivy = _normalize(bxc - axc, byc - ayc)
+                        d = ivx * nx + ivy * ny
+                        refx, refy = ivx - 2.0 * d * nx, ivy - 2.0 * d * ny
+                        ex, ey = rx_ - refx, ry_ - refy
+                        loss = loss + ex * ex + ey * ey
+
+                # --- on_objects with running-min gradient
+                if soft_mode:
+                    on = jnp.ones_like(px)
+                    gon_x, gon_y = zeros, zeros
+                else:
+                    on = jnp.ones_like(px, dtype=jnp.bool_)
+                for j, i in enumerate(cand):
+                    if kinds_c[i] == KIND_VERTEX:
+                        continue
+                    axw, ayw, bxw, byw = wall_scalars(i)
+                    dxw, dyw = bxw - axw, byw - ayw
+                    sq = dxw * dxw + dyw * dyw
+                    sq = sq if sq != 0.0 else 1.0
+                    bxc, byc = path_x[j + 1], path_y[j + 1]
+                    t = ((bxc - axw) * dxw + (byc - ayw) * dyw) / sq
+                    if soft_mode:
+                        c1 = _soft(t, alpha, sigmoid)
+                        c2 = _soft(1.0 - t, alpha, sigmoid)
+                        contains = jnp.minimum(c1, c2)
+                        # dt/dp = grad t_j exactly (this t IS the bounce's
+                        # along-wall coordinate).
+                        _, _, gt_j = bstate[j]
+                        dc = jnp.where(
+                            c1 < c2,
+                            _soft_grad(t, alpha, sigmoid),
+                            -_soft_grad(1.0 - t, alpha, sigmoid),
+                        )
+                        take = contains < on
+                        gon_x = jnp.where(take, dc * gt_j[0], gon_x)
+                        gon_y = jnp.where(take, dc * gt_j[1], gon_y)
+                        on = jnp.minimum(on, contains)
+                    else:
+                        on = on & ((t >= 0.0) & (t <= 1.0))
+
+                # --- blocked with running-max gradient
+                if soft_mode:
+                    blk = jnp.zeros_like(px)
+                    gblk_x, gblk_y = zeros, zeros
+                else:
+                    blk = jnp.zeros_like(px, dtype=jnp.bool_)
+                idx = [-1, *cand, -1]
+                for seg in range(order + 1):
+                    skip = {idx[seg], idx[seg + 1]} - {-1}
+                    st0 = pstate[seg]
+                    st1 = pstate[seg + 1]
+                    sax, say = path_x[seg], path_y[seg]
+                    sbx, sby = path_x[seg + 1], path_y[seg + 1]
+                    for w in range(W):
+                        if w in skip or kinds_c[w] == KIND_VERTEX:
+                            continue
+                        axw, ayw, bxw, byw = wall_scalars(w)
+                        tx_, ty_ = bxw - axw, byw - ayw
+                        wa_x = axw - patch * tx_
+                        wa_y = ayw - patch * ty_
+                        wb_x = bxw + patch * tx_
+                        wb_y = byw + patch * ty_
+                        hit, dhc, dhd = _seg_intersect_vag(
+                            wa_x, wa_y, wb_x, wb_y, sax, say, sbx, sby,
+                            soft_mode, alpha,
+                        )
+                        if soft_mode:
+                            ghx0, ghy0 = contract(st0, dhc[0], dhc[1])
+                            ghx1, ghy1 = contract(st1, dhd[0], dhd[1])
+                            ghx, ghy = ghx0 + ghx1, ghy0 + ghy1
+                            take = hit > blk
+                            gblk_x = jnp.where(take, ghx, gblk_x)
+                            gblk_y = jnp.where(take, ghy, gblk_y)
+                            blk = jnp.maximum(blk, hit)
+                        else:
+                            blk = blk | hit
+
+                # --- validity with arg-min gradient selection
+                if soft_mode:
+                    loss_ok = _soft(tol - loss, alpha, sigmoid)
+                    m1 = jnp.minimum(on, 1.0 - blk)
+                    take1 = on < 1.0 - blk
+                    gm1_x = jnp.where(take1, gon_x, -gblk_x)
+                    gm1_y = jnp.where(take1, gon_y, -gblk_y)
+                    valid_pre = jnp.minimum(m1, loss_ok)
+                    if has_ris:
+                        slo = -_soft_grad(tol - loss, alpha, sigmoid)
+                        glo_x, glo_y = slo * gloss_x, slo * gloss_y
+                    else:
+                        glo_x, glo_y = zeros, zeros
+                    take2 = m1 < loss_ok
+                    gvalid_x = jnp.where(take2, gm1_x, glo_x)
+                    gvalid_y = jnp.where(take2, gm1_y, glo_y)
+                    bad = jnp.isnan(valid_pre)
+                    valid = jnp.nan_to_num(valid_pre)
+                    gvalid_x = jnp.where(bad, 0.0, gvalid_x)
+                    gvalid_y = jnp.where(bad, 0.0, gvalid_y)
+                else:
+                    valid = on & (~blk) & (loss < tol)
+
+                # --- path length + power; d r/dp = unit(final segment)
+                r = jnp.zeros_like(px)
+                ldx = ldy = None
+                for seg in range(order + 1):
+                    dx_ = path_x[seg + 1] - path_x[seg] + eps
+                    dy_ = path_y[seg + 1] - path_y[seg] + eps
+                    r = r + _norm2(dx_, dy_)
+                    ldx, ldy = dx_, dy_
+                ln = _norm2(ldx, ldy)
+                safe_ln = jnp.where(ln == 0.0, 1.0, ln)
+                dr_x = jnp.where(ln == 0.0, 0.0, ldx / safe_ln)
+                dr_y = jnp.where(ln == 0.0, 0.0, ldy / safe_ln)
+                denom = height * height + r * r
+                power = (r_coef**order) / denom
+                dp_scale = -power * (2.0 * r / denom)
+                dpow_x = dp_scale * dr_x
+                dpow_y = dp_scale * dr_y
+
+                val = valid * power
+                if soft_mode:
+                    gx = gvalid_x * power + valid * dpow_x
+                    gy = gvalid_y * power + valid * dpow_y
+                else:
+                    vf = valid.astype(px.dtype)
+                    gx = vf * dpow_x
+                    gy = vf * dpow_y
+                return val, gx, gy
+
+            return contrib_vag
+
         contribs = []
         for order in sorted(groups):
             cands = groups[order]
             for c in range(cands.shape[0]):
-                contribs.append(
-                    make_contrib(order, [int(v) for v in cands[c]])
-                )
+                make = make_contrib_vag if with_grad else make_contrib
+                contribs.append(make(order, [int(v) for v in cands[c]]))
 
         def body(px, py):
             acc = jnp.zeros_like(px)
@@ -343,21 +701,11 @@ def build_power_map_kernel(
 
         if with_grad:
             val_ref, dx_ref, dy_ref = out_refs
-            # One reverse sweep per candidate (same scheme as the looped
-            # kernel's ``pixel_body_vag``): each candidate contribution is
-            # straight-line, so ``jax.vjp`` yields d/dx and d/dy together
-            # for ~one forward + one backward pass.  Per-candidate (rather
-            # than whole-body) reverse keeps the transposed program linear
-            # in the candidate count; the old double-jvp of the full body
-            # tripled the instruction stream and blew Mosaic compile times
-            # past 9 minutes at 8 candidates.
-            ones = jnp.ones_like(px)
             v = jnp.zeros_like(px)
             gx = jnp.zeros_like(px)
             gy = jnp.zeros_like(px)
             for f in contribs:
-                val, pull = jax.vjp(f, px, py)
-                dx, dy = pull(ones)
+                val, dx, dy = f(px, py)
                 v, gx, gy = v + val, gx + dx, gy + dy
             val_ref[:] = v
             dx_ref[:] = gx
@@ -1282,11 +1630,14 @@ def get_fused_run(
     # through order 2 while city-scale scenes (122 cands x 120 walls)
     # take the fori_loop kernel, whose program size is O(walls), not
     # O(candidates).  Compiled kernels are LRU-cached per scene geometry.
-    # value_and_grad unrolled uses one reverse sweep PER CANDIDATE (never
-    # jvp over the whole body -- that tripled the instruction stream and
-    # blew Mosaic compile times past 9 min at 8 candidates; per-candidate
-    # reverse compiles in ~5 s and runs ~10% faster than the looped vag).
-    # Reverse sweeps ~3x the stream, so the grad threshold is lower.
+    # value_and_grad unrolled folds HAND-DERIVED analytic pixel partials
+    # into the forward sweep (make_contrib_vag): no jax.vjp reverse
+    # program, no residual live-set. (History: whole-body jvp tripled
+    # the stream and blew Mosaic compiles past 9 min at 8 candidates;
+    # per-candidate jax.vjp reverse was the round-2 scheme at ~3x the
+    # stream. The analytic sweep is ~2x the forward stream, but the 400
+    # threshold below is the conservative round-2 value pending TPU
+    # re-measurement.)
     n_walls = int(walls_np.shape[0])
     stream_proxy = sum(
         int(g.shape[0]) * n_walls * (o + 1) for o, g in groups.items()

@@ -129,6 +129,46 @@ def _minimize_implicit(fun, x0, args, steps, optimizer):
     return solve(x0, tuple(args))
 
 
+@typecheck(fun=CALLABLE)
+def value_and_grad_fwd(
+    fun: Callable[..., jax.Array],
+) -> Callable[..., tuple[jax.Array, Any]]:
+    """``jax.value_and_grad(fun)`` computed with FORWARD-mode AD.
+
+    Returns a function ``(x, *args) -> (value, grad)`` where ``grad`` is
+    assembled from one JVP per scalar in ``x`` (vmapped over basis
+    tangents). For objectives that differentiate *through the solvers'
+    unrolled 100-step adam scan* (reference ``optimize.py:85-96``) with
+    only a few free parameters — a RIS phase, a TX position — reverse
+    mode must store and replay the whole trajectory, while forward mode
+    streams it once per parameter with O(1) memory; on TPU this is both
+    faster and VMEM-friendlier whenever ``x.size`` is small (``<= ~4``).
+    The derivative is mathematically identical to
+    ``jax.value_and_grad`` (same unrolled-scan semantics, reference
+    ``scene.py:1920-1930``), differing only by float rounding.
+
+    >>> import jax.numpy as jnp
+    >>> from differt2d_tpu.optimize import value_and_grad_fwd
+    >>> v, g = value_and_grad_fwd(lambda x: jnp.sum(x**2))(jnp.array([1.0, 2.0]))
+    >>> bool(v == 5.0), [float(t) for t in g]
+    (True, [2.0, 4.0])
+    """
+
+    def wrapped(x, *args):
+        from jax.flatten_util import ravel_pytree
+
+        flat, unravel = ravel_pytree(x)
+        basis = jnp.eye(flat.size, dtype=flat.dtype)
+
+        def one(t):
+            return jax.jvp(lambda f: fun(unravel(f), *args), (flat,), (t,))
+
+        vals, tangents = jax.vmap(one)(basis)
+        return vals[0], unravel(tangents)
+
+    return wrapped
+
+
 @typecheck(fun=CALLABLE, key=KEY_ARRAY, n=SCALAR_INT_STRICT)
 def minimize_random_uniform(
     fun: Callable[..., jax.Array],

@@ -737,10 +737,15 @@ def _pallas_eligible(scene, kwargs: dict) -> bool:
     # Fermat auto-dispatches to the in-kernel adam solver now that its
     # bias-correction table is computed by XLA's own `decay**count`
     # lowering (bit-parity with optax; verified allclose on TPU).
-    # MPT stays opt-in: its residual objective has multiple basins, and
-    # 100-step trajectories near basin boundaries amplify Mosaic-vs-XLA
-    # rounding into occasional O(1) per-pixel differences (measured
-    # 5/4096 pixels on TPU).
+    # MPT auto-dispatches under a documented TOLERANCE CONTRACT: its
+    # residual objective has multiple basins, and 100-step trajectories
+    # near basin boundaries amplify Mosaic-vs-XLA transcendental rounding
+    # into occasional O(1) per-pixel differences. The contract (PARITY.md)
+    # bounds the disagreement to <= 0.5% of pixels, each a basin-boundary
+    # pixel where the two backends converge to different-but-valid
+    # solutions (tests/test_pallas.py::test_mpt_flip_rate_contract pins
+    # the bound; measured 5/4096 = 0.12% on TPU round 2). Callers needing
+    # bit-stable maps across backends pass backend="xla".
     solver = kwargs.get("solver", "image")
     if solver in ("fermat", "mpt") and _all_vertex_allowed(
         scene, kwargs.get("filter_objects")
@@ -754,7 +759,7 @@ def _pallas_eligible(scene, kwargs: dict) -> bool:
         # (pallas_power_map re-derives this from the candidate groups and
         # routes to the image kernels.)
         pass
-    elif solver == "fermat":
+    elif solver in ("fermat", "mpt"):
         # Real TPU only: the 100-step in-kernel adam loop is pathological
         # under the CPU interpreter (instruction-level interpretation per
         # step per tile), and the XLA tracer is already fast on CPU.

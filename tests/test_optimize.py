@@ -150,3 +150,53 @@ class TestImplicitDiff:
             np.abs(np.asarray(gu)) + 1.0
         )
         assert (rel < 0.05).mean() > 0.85
+
+
+class TestValueAndGradFwd:
+    """Forward-mode value_and_grad (optimize.value_and_grad_fwd)."""
+
+    def test_matches_reverse_on_quadratic(self):
+        from differt2d_tpu.optimize import value_and_grad_fwd
+
+        f = lambda x: jnp.sum((x - 2.0) ** 2 * jnp.array([1.0, 3.0]))  # noqa: E731
+        x = jnp.array([0.5, -1.5])
+        v_f, g_f = value_and_grad_fwd(f)(x)
+        v_r, g_r = jax.value_and_grad(f)(x)
+        chex.assert_trees_all_close(v_f, v_r)
+        chex.assert_trees_all_close(g_f, g_r)
+
+    def test_scalar_parameter(self):
+        from differt2d_tpu.optimize import value_and_grad_fwd
+
+        v, g = value_and_grad_fwd(lambda p: jnp.sin(p) * 3.0)(jnp.array(0.3))
+        chex.assert_trees_all_close(v, 3.0 * jnp.sin(0.3))
+        chex.assert_trees_all_close(g, 3.0 * jnp.cos(0.3))
+        assert g.shape == ()
+
+    def test_through_unrolled_solver_scan(self, key):
+        """Same derivative as reverse mode THROUGH the unrolled adam
+        scan (the RIS-phase / TX-placement workload shape)."""
+        from differt2d_tpu.optimize import minimize, value_and_grad_fwd
+
+        def outer(p):
+            x, loss = minimize(
+                lambda x_, p_: jnp.sum((x_ - p_) ** 2) + jnp.sum(x_**4),
+                jnp.zeros(2),
+                args=(p,),
+                steps=40,
+            )
+            return jnp.sum(x**2) + loss
+
+        p0 = jnp.array([0.7, -0.2])
+        v_f, g_f = jax.jit(value_and_grad_fwd(outer))(p0)
+        v_r, g_r = jax.value_and_grad(outer)(p0)
+        chex.assert_trees_all_close(v_f, v_r, rtol=1e-6)
+        chex.assert_trees_all_close(g_f, g_r, rtol=1e-5, atol=1e-7)
+
+    def test_extra_args_not_differentiated(self):
+        from differt2d_tpu.optimize import value_and_grad_fwd
+
+        f = lambda x, a: a * jnp.sum(x**2)  # noqa: E731
+        v, g = value_and_grad_fwd(f)(jnp.array([2.0]), 3.0)
+        chex.assert_trees_all_close(v, 12.0)
+        chex.assert_trees_all_close(g, jnp.array([12.0]))

@@ -294,8 +294,12 @@ class TestOptSolverKernel:
                 backend="pallas",
             )
 
-    def test_auto_keeps_solvers_on_xla(self, grids, key):
-        """Auto dispatch must not route fermat/mpt to the kernel."""
+    def test_auto_keeps_solvers_on_xla_off_tpu(self, grids, key):
+        """Off real TPU, auto dispatch must not route fermat/mpt to the
+        kernel (the interpreted 100-step adam loop is pathological; on
+        TPU both auto-dispatch under the tolerance contract pinned by
+        :class:`TestFlipRateContract`)."""
+        assert jax.default_backend() != "tpu"
         scene = Scene.square_scene()
         X, Y = grids
         auto = tracer.power_map(
@@ -306,6 +310,56 @@ class TestOptSolverKernel:
             key=key, backend="xla",
         )
         chex.assert_trees_all_equal(auto, ref)
+
+
+class TestFlipRateContract:
+    """Pin the documented Pallas-vs-XLA disagreement bounds (PARITY.md).
+
+    On real TPU, Mosaic-vs-XLA transcendental rounding flips a small
+    fraction of validity-boundary pixels: measured ~0.02% for the
+    order-2 image kernels and 0.12% for the 100-step in-kernel adam
+    solver (round 2). These tests bound the flip rate so a regression
+    to percent-scale disagreement fails loudly; in interpreter mode
+    (CPU) the backends agree to ~1e-7 and the bounds hold trivially.
+    """
+
+    # Contract bounds (PARITY.md "Known numerical tolerances").
+    IMAGE_FLIP_BOUND = 0.002  # order-2 image kernel, measured ~2e-4
+    SOLVER_FLIP_BOUND = 0.005  # in-kernel adam solver, measured 1.2e-3
+
+    @staticmethod
+    def _flip_stats(pal, ref, flip_atol=0.05):
+        pal = np.asarray(pal)
+        ref = np.asarray(ref)
+        err = np.abs(pal - ref)
+        scale = 1.0 + np.abs(ref)
+        flipped = err > flip_atol * scale
+        rate = float(flipped.mean())
+        rest = float((err[~flipped] / scale[~flipped]).max()) if (~flipped).any() else 0.0
+        return rate, rest
+
+    def test_image_order2_flip_rate(self, grids):
+        scene = Scene.basic_scene()
+        X, Y = grids
+        ref = tracer.power_map(scene, X, Y, max_order=2, approx=True,
+                               backend="xla")
+        pal = pallas_power_map(
+            scene, X, Y, max_order=2, approx=True,
+            interpret=jax.default_backend() != "tpu",
+        )
+        rate, rest = self._flip_stats(pal, ref)
+        assert rate <= self.IMAGE_FLIP_BOUND, (rate, self.IMAGE_FLIP_BOUND)
+        assert rest <= 1e-3, rest
+
+    def test_mpt_flip_rate_contract(self, grids, key):
+        scene = Scene.square_scene()
+        X, Y = grids
+        kw = dict(order=1, solver="mpt", steps=50, approx=True, key=key)
+        ref = tracer.power_map(scene, X, Y, backend="xla", **kw)
+        pal = tracer.power_map(scene, X, Y, backend="pallas", **kw)
+        rate, rest = self._flip_stats(pal, ref)
+        assert rate <= self.SOLVER_FLIP_BOUND, (rate, self.SOLVER_FLIP_BOUND)
+        assert rest <= 1e-3, rest
 
 
 def test_multiple_transmitters(grids):

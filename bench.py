@@ -314,12 +314,23 @@ def _inner_main():
     Zpg = Zpg.reshape(Xg.shape)
     dZpg = dZpg.reshape(*Xg.shape, 2)
 
+    def _close_except_kinks(a, b, rtol, atol, frac=0.005):
+        # Gradient maps kink where a pixel sits within one f32 ulp of a
+        # soft-min/max crossover: the analytic kernel tangent and XLA AD
+        # pick different (equally valid) subgradients there. Tolerate
+        # <= frac such pixels; everything else must be allclose
+        # (tests/test_pallas.py::assert_close_except_kinks, PARITY.md).
+        bad = np.abs(np.asarray(a) - np.asarray(b)) > (
+            atol + rtol * np.abs(np.asarray(b))
+        )
+        return float(bad.mean()) <= frac
+
     grad_ok = bool(
         np.allclose(Zf, Zs, rtol=1e-4, atol=1e-6)
-        and np.allclose(dZf, dZs, rtol=1e-3, atol=1e-5)
+        and _close_except_kinks(dZf, dZs, rtol=1e-3, atol=1e-5)
         and np.allclose(Zp, Zs, rtol=1e-4, atol=1e-5)
         and np.allclose(Zpg, Zs, rtol=1e-4, atol=1e-5)
-        and np.allclose(dZpg, dZs, rtol=1e-3, atol=1e-5)
+        and _close_except_kinks(dZpg, dZs, rtol=1e-3, atol=1e-5)
     )
     _part({"grad_check_pass": grad_ok})
 

@@ -90,6 +90,21 @@ def _soft_grad(x, alpha, sigmoid: bool):
     return jnp.where((ax > -3.0) & (ax < 3.0), alpha / 6.0, 0.0)
 
 
+def _min_grad_sel(a, b, da, db):
+    """Gradient of ``jnp.minimum(a, b)`` matching XLA's balanced-eq rule:
+    the smaller argument's tangent, split 50/50 at EXACT ties (jax
+    ``lax.min`` JVP).  Ties are not measure-zero here: saturated
+    hard-sigmoid activations produce exactly-equal values at symmetric
+    geometry, and a one-sided select visibly diverges from the XLA
+    tracer at those pixels (seen at order 2 on ``basic_scene``)."""
+    return jnp.where(a < b, da, jnp.where(a > b, db, 0.5 * (da + db)))
+
+
+def _max_grad_sel(a, b, da, db):
+    """Gradient of ``jnp.maximum(a, b)`` with XLA's balanced-eq tie rule."""
+    return jnp.where(a > b, da, jnp.where(a < b, db, 0.5 * (da + db)))
+
+
 def _seg_intersect_vag(ax, ay, bx, by, cx, cy, dx, dy, soft, alpha, tol=0.005):
     """:func:`_seg_intersect` plus closed-form partials w.r.t. (c, d).
 
@@ -120,8 +135,9 @@ def _seg_intersect_vag(ax, ay, bx, by, cx, cy, dx, dy, soft, alpha, tol=0.005):
         if soft:
             ge = _soft(t + tol, alpha, soft == "sigmoid")
             le = _soft(1.0 + tol - t, alpha, soft == "sigmoid")
-            return jnp.minimum(ge, le), jnp.where(
-                ge < le,
+            return jnp.minimum(ge, le), _min_grad_sel(
+                ge,
+                le,
                 _soft_grad(t + tol, alpha, soft == "sigmoid"),
                 -_soft_grad(1.0 + tol - t, alpha, soft == "sigmoid"),
             )
@@ -132,9 +148,10 @@ def _seg_intersect_vag(ax, ay, bx, by, cx, cy, dx, dy, soft, alpha, tol=0.005):
     if not soft:
         return inr_a & inr_b, None, None
     hit = jnp.minimum(inr_a, inr_b)
-    # dhit/dt_a and dhit/dt_b (argmin select; inf t is saturated -> 0).
-    g_a = jnp.where(inr_a < inr_b, dinr_a, 0.0)
-    g_b = jnp.where(inr_a < inr_b, 0.0, dinr_b)
+    # dhit/dt_a and dhit/dt_b (argmin select with XLA's balanced-eq tie
+    # rule; inf t is saturated -> 0).
+    g_a = _min_grad_sel(inr_a, inr_b, dinr_a, 0.0)
+    g_b = _min_grad_sel(inr_a, inr_b, 0.0, dinr_b)
     # num_a = bvy*cvx - bvx*cvy, bv = c - d, cv = a - c:
     #   d num_a/dc = (-bvy - cvy, cvx + bvx),  d num_a/dd = (cvy, -cvx)
     # num_b = avx*cvy - avy*cvx:
@@ -584,14 +601,14 @@ def build_power_map_kernel(
                         # dt/dp = grad t_j exactly (this t IS the bounce's
                         # along-wall coordinate).
                         _, _, gt_j = bstate[j]
-                        dc = jnp.where(
-                            c1 < c2,
+                        dc = _min_grad_sel(
+                            c1,
+                            c2,
                             _soft_grad(t, alpha, sigmoid),
                             -_soft_grad(1.0 - t, alpha, sigmoid),
                         )
-                        take = contains < on
-                        gon_x = jnp.where(take, dc * gt_j[0], gon_x)
-                        gon_y = jnp.where(take, dc * gt_j[1], gon_y)
+                        gon_x = _min_grad_sel(on, contains, gon_x, dc * gt_j[0])
+                        gon_y = _min_grad_sel(on, contains, gon_y, dc * gt_j[1])
                         on = jnp.minimum(on, contains)
                     else:
                         on = on & ((t >= 0.0) & (t <= 1.0))
@@ -626,9 +643,8 @@ def build_power_map_kernel(
                             ghx0, ghy0 = contract(st0, dhc[0], dhc[1])
                             ghx1, ghy1 = contract(st1, dhd[0], dhd[1])
                             ghx, ghy = ghx0 + ghx1, ghy0 + ghy1
-                            take = hit > blk
-                            gblk_x = jnp.where(take, ghx, gblk_x)
-                            gblk_y = jnp.where(take, ghy, gblk_y)
+                            gblk_x = _max_grad_sel(blk, hit, gblk_x, ghx)
+                            gblk_y = _max_grad_sel(blk, hit, gblk_y, ghy)
                             blk = jnp.maximum(blk, hit)
                         else:
                             blk = blk | hit
@@ -637,18 +653,16 @@ def build_power_map_kernel(
                 if soft_mode:
                     loss_ok = _soft(tol - loss, alpha, sigmoid)
                     m1 = jnp.minimum(on, 1.0 - blk)
-                    take1 = on < 1.0 - blk
-                    gm1_x = jnp.where(take1, gon_x, -gblk_x)
-                    gm1_y = jnp.where(take1, gon_y, -gblk_y)
+                    gm1_x = _min_grad_sel(on, 1.0 - blk, gon_x, -gblk_x)
+                    gm1_y = _min_grad_sel(on, 1.0 - blk, gon_y, -gblk_y)
                     valid_pre = jnp.minimum(m1, loss_ok)
                     if has_ris:
                         slo = -_soft_grad(tol - loss, alpha, sigmoid)
                         glo_x, glo_y = slo * gloss_x, slo * gloss_y
                     else:
                         glo_x, glo_y = zeros, zeros
-                    take2 = m1 < loss_ok
-                    gvalid_x = jnp.where(take2, gm1_x, glo_x)
-                    gvalid_y = jnp.where(take2, gm1_y, glo_y)
+                    gvalid_x = _min_grad_sel(m1, loss_ok, gm1_x, glo_x)
+                    gvalid_y = _min_grad_sel(m1, loss_ok, gm1_y, glo_y)
                     bad = jnp.isnan(valid_pre)
                     valid = jnp.nan_to_num(valid_pre)
                     gvalid_x = jnp.where(bad, 0.0, gvalid_x)
@@ -778,7 +792,7 @@ def build_power_map_kernel_looped(
     interpret: bool = False,
     mode: str = "value",
     block_rows: int = 32,
-    tangent_impl: str = "vjp",
+    tangent_impl: str = "analytic",
     cand_block: int = 1,
     hoist_walls: bool = False,
 ):
@@ -1013,6 +1027,332 @@ def build_power_map_kernel_looped(
 
             return contrib
 
+        def make_cand_contrib_vag(order, cand_ref, img_ref):
+            """``contrib_vag(c, px, py) -> (valid*power, d/dpx, d/dpy)``:
+            the looped twin of the unrolled kernel's
+            :func:`make_contrib_vag` — forward pass identical to
+            :func:`make_cand_contrib` plus HAND-DERIVED pixel partials
+            folded into the same sweep (rank-1 bounce Jacobians down the
+            image recursion, final-segment unit vector for the length
+            term, argmin/argmax gradient selects matching XLA's min/max
+            select structure).  Object kinds are runtime values here, so
+            the trace-time branches of the unrolled version become
+            ``jnp.where`` selects: a vertex bounce is the rank-1 state
+            with a ZERO ``grad t`` vector (its contraction vanishes
+            identically), and only RIS residual terms carry a loss
+            gradient (wall specular residuals are identically zero in
+            the pixel by the reflection-law identity)."""
+
+            def contrib_vag(c, px, py):
+                idx = [cand_ref[c * order + j] for j in range(order)]
+                wall_vals = [read_wall(i) for i in idx]
+                kinds = [kind_ref[i] for i in idx]
+                normals = [read_normal(i) for i in idx]
+                images = [
+                    (
+                        img_ref[(c * order + j) * 2],
+                        img_ref[(c * order + j) * 2 + 1],
+                    )
+                    for j in range(order)
+                ]
+                zeros = jnp.zeros_like(px)
+
+                # Backward bounce recursion with rank-1 Jacobians: the
+                # downstream point q starts at the pixel (dq/dp = I);
+                # after a bounce it is d_j (x) grad t_j (zero grad for a
+                # vertex: the point is pinned).
+                ptx, pty = px, py
+                state_pixel = True  # trace-time: j == order-1 sees the pixel
+                prev_d = None
+                prev_gt = None
+                bounce = [None] * order
+                bdir = [None] * order
+                bgrad = [None] * order
+                for j in range(order - 1, -1, -1):
+                    axw, ayw, bxw, byw = wall_vals[j]
+                    nx, ny = normals[j]
+                    imx, imy = images[j]
+                    ux, uy = ptx - imx, pty - imy
+                    un = ux * nx + uy * ny
+                    vn = (axw - ptx) * nx + (ayw - pty) * ny
+                    un_zero = un == 0.0
+                    safe_un = jnp.where(un_zero, 1.0, un)
+                    s = jnp.where(un_zero, 0.0, vn / safe_un)
+                    bx_t = ptx + s * ux
+                    by_t = pty + s * uy
+                    is_vertex = kinds[j] == KIND_VERTEX
+                    new_ptx = jnp.where(is_vertex, axw, bx_t)
+                    new_pty = jnp.where(is_vertex, ayw, by_t)
+                    # dt_j/dq (see the unrolled twin for the derivation);
+                    # at un == 0 the where-guard selects b = q, matching
+                    # XLA's select gradient.
+                    dxw, dyw = bxw - axw, byw - ayw
+                    dd2 = dxw * dxw + dyw * dyw
+                    dd2 = jnp.where(dd2 == 0.0, 1.0, dd2)
+                    c_im = (axw - imx) * nx + (ayw - imy) * ny
+                    f = jnp.where(un_zero, 0.0, c_im / safe_un)
+                    g = jnp.where(un_zero, 0.0, (ux * dxw + uy * dyw) / safe_un)
+                    vx = jnp.where(un_zero, dxw / dd2, f * (dxw - g * nx) / dd2)
+                    vy = jnp.where(un_zero, dyw / dd2, f * (dyw - g * ny) / dd2)
+                    if state_pixel:
+                        gtx, gty = vx, vy
+                    else:
+                        k = vx * prev_d[0] + vy * prev_d[1]
+                        gtx, gty = k * prev_gt[0], k * prev_gt[1]
+                    gtx = jnp.where(is_vertex, 0.0, gtx)
+                    gty = jnp.where(is_vertex, 0.0, gty)
+                    ptx, pty = new_ptx, new_pty
+                    state_pixel = False
+                    prev_d = (dxw, dyw)
+                    prev_gt = (gtx, gty)
+                    bounce[j] = (ptx, pty)
+                    bdir[j] = (dxw, dyw)
+                    bgrad[j] = (gtx, gty)
+
+                path_x = [jnp.full_like(px, txx)] + [b[0] for b in bounce] + [px]
+                path_y = [jnp.full_like(py, txy)] + [b[1] for b in bounce] + [py]
+
+                def contract(s, wx, wy):
+                    """(w . d path_point[s]/dp); s is a static index."""
+                    if s == 0:
+                        return zeros, zeros  # TX: constant
+                    if s == order + 1:
+                        return wx, wy  # the pixel: identity
+                    d_s = bdir[s - 1]
+                    gt_s = bgrad[s - 1]
+                    k = wx * d_s[0] + wy * d_s[1]
+                    return k * gt_s[0], k * gt_s[1]
+
+                # Residuals: forward identical to make_cand_contrib;
+                # gradient only through RIS terms (runtime-masked).
+                loss = jnp.zeros_like(px)
+                gloss_x, gloss_y = zeros, zeros
+                for j in range(order):
+                    nx, ny = normals[j]
+                    axc, ayc = path_x[j], path_y[j]
+                    bxc, byc = path_x[j + 1], path_y[j + 1]
+                    cxc, cyc = path_x[j + 2], path_y[j + 2]
+                    rx_, ry_ = _normalize(cxc - bxc, cyc - byc)
+                    ivx, ivy = _normalize(bxc - axc, byc - ayc)
+                    d = ivx * nx + ivy * ny
+                    refx, refy = ivx - 2.0 * d * nx, ivy - 2.0 * d * ny
+                    ex, ey = rx_ - refx, ry_ - refy
+                    spec = ex * ex + ey * ey
+                    sin_a = (-rx_) * ny - (-ry_) * nx
+                    cos_a = (-rx_) * nx + (-ry_) * ny
+                    sin_p = jnp.sin(phi_ref[idx[j]])
+                    cos_p = jnp.cos(phi_ref[idx[j]])
+                    ris = (sin_a - sin_p) ** 2 + (cos_a - cos_p) ** 2
+                    res = jnp.where(kinds[j] == KIND_RIS, ris, spec)
+                    res = jnp.where(kinds[j] == KIND_VERTEX, 0.0, res)
+                    loss = loss + res
+                    # RIS gradient chain (unrolled twin for derivation):
+                    # d term/d rhat -> normalize Jacobian -> dv = dc - db.
+                    is_ris = kinds[j] == KIND_RIS
+                    wx = 2.0 * (sin_a - sin_p) * (-ny) + 2.0 * (cos_a - cos_p) * (-nx)
+                    wy = 2.0 * (sin_a - sin_p) * nx + 2.0 * (cos_a - cos_p) * (-ny)
+                    vx_s, vy_s = cxc - bxc, cyc - byc
+                    vn2 = vx_s * vx_s + vy_s * vy_s
+                    v_zero = vn2 == 0.0
+                    inv_vn = jnp.where(
+                        v_zero, 0.0, 1.0 / jnp.sqrt(jnp.where(v_zero, 1.0, vn2))
+                    )
+                    rw = rx_ * wx + ry_ * wy
+                    qx = (wx - rx_ * rw) * inv_vn
+                    qy = (wy - ry_ * rw) * inv_vn
+                    cgx, cgy = contract(j + 2, qx, qy)
+                    bgx, bgy = contract(j + 1, qx, qy)
+                    gloss_x = gloss_x + jnp.where(is_ris, cgx - bgx, 0.0)
+                    gloss_y = gloss_y + jnp.where(is_ris, cgy - bgy, 0.0)
+
+                # on_objects with running-min gradient.
+                if soft_mode:
+                    on = jnp.ones_like(px)
+                    gon_x, gon_y = zeros, zeros
+                else:
+                    on = jnp.ones_like(px, dtype=jnp.bool_)
+                for j in range(order):
+                    axw, ayw, bxw, byw = wall_vals[j]
+                    dxw, dyw = bxw - axw, byw - ayw
+                    sq = dxw * dxw + dyw * dyw
+                    sq = jnp.where(sq == 0.0, 1.0, sq)
+                    bxc, byc = path_x[j + 1], path_y[j + 1]
+                    t = ((bxc - axw) * dxw + (byc - ayw) * dyw) / sq
+                    is_vertex = kinds[j] == KIND_VERTEX
+                    if soft_mode:
+                        c1 = _soft(t, alpha, sigmoid)
+                        c2 = _soft(1.0 - t, alpha, sigmoid)
+                        contains = jnp.minimum(c1, c2)
+                        contains = jnp.where(is_vertex, 1.0, contains)
+                        # dt/dp IS the bounce's along-wall grad t_j.
+                        gt_j = bgrad[j]
+                        dc = _min_grad_sel(
+                            c1,
+                            c2,
+                            _soft_grad(t, alpha, sigmoid),
+                            -_soft_grad(1.0 - t, alpha, sigmoid),
+                        )
+                        dc = jnp.where(is_vertex, 0.0, dc)
+                        gon_x = _min_grad_sel(on, contains, gon_x, dc * gt_j[0])
+                        gon_y = _min_grad_sel(on, contains, gon_y, dc * gt_j[1])
+                        on = jnp.minimum(on, contains)
+                    else:
+                        contains = (t >= 0.0) & (t <= 1.0)
+                        contains = contains | is_vertex
+                        on = on & contains
+
+                # Blocked with running-max gradient; adjacency masked at
+                # runtime (masked hits carry zero gradient, matching the
+                # XLA where-select).
+                if soft_mode:
+                    blk = jnp.zeros_like(px)
+                    gblk_x, gblk_y = zeros, zeros
+                else:
+                    blk = jnp.zeros_like(px, dtype=jnp.bool_)
+                minus_one = jnp.int32(-1)
+                seg_idx = [minus_one] + [i for i in idx] + [minus_one]
+                for s in range(order + 1):
+                    for w in range(W):
+                        wa_x, wa_y, wb_x, wb_y = read_patched(w)
+                        ignore = (seg_idx[s] == w) | (seg_idx[s + 1] == w)
+                        if soft_mode:
+                            hit, dhc, dhd = _seg_intersect_vag(
+                                wa_x, wa_y, wb_x, wb_y,
+                                path_x[s], path_y[s],
+                                path_x[s + 1], path_y[s + 1],
+                                soft_mode, alpha,
+                            )
+                            hit = jnp.where(ignore, 0.0, hit)
+                            ghx0, ghy0 = contract(s, dhc[0], dhc[1])
+                            ghx1, ghy1 = contract(s + 1, dhd[0], dhd[1])
+                            ghx = jnp.where(ignore, 0.0, ghx0 + ghx1)
+                            ghy = jnp.where(ignore, 0.0, ghy0 + ghy1)
+                            gblk_x = _max_grad_sel(blk, hit, gblk_x, ghx)
+                            gblk_y = _max_grad_sel(blk, hit, gblk_y, ghy)
+                            blk = jnp.maximum(blk, hit)
+                        else:
+                            hit = _seg_intersect(
+                                wa_x, wa_y, wb_x, wb_y,
+                                path_x[s], path_y[s],
+                                path_x[s + 1], path_y[s + 1],
+                                soft_mode, alpha,
+                            )
+                            hit = jnp.where(ignore, False, hit)
+                            blk = blk | hit
+
+                # Validity with arg-min gradient selection.
+                if soft_mode:
+                    loss_ok = _soft(tol - loss, alpha, sigmoid)
+                    m1 = jnp.minimum(on, 1.0 - blk)
+                    gm1_x = _min_grad_sel(on, 1.0 - blk, gon_x, -gblk_x)
+                    gm1_y = _min_grad_sel(on, 1.0 - blk, gon_y, -gblk_y)
+                    valid_pre = jnp.minimum(m1, loss_ok)
+                    slo = -_soft_grad(tol - loss, alpha, sigmoid)
+                    glo_x, glo_y = slo * gloss_x, slo * gloss_y
+                    gvalid_x = _min_grad_sel(m1, loss_ok, gm1_x, glo_x)
+                    gvalid_y = _min_grad_sel(m1, loss_ok, gm1_y, glo_y)
+                    bad = jnp.isnan(valid_pre)
+                    valid = jnp.nan_to_num(valid_pre)
+                    gvalid_x = jnp.where(bad, 0.0, gvalid_x)
+                    gvalid_y = jnp.where(bad, 0.0, gvalid_y)
+                else:
+                    valid = on & (~blk) & (loss < tol)
+
+                # Path length + power; d r/dp = unit(final segment) by
+                # the image-method stationarity identity.
+                r = jnp.zeros_like(px)
+                ldx = ldy = None
+                for s in range(order + 1):
+                    dx_ = path_x[s + 1] - path_x[s] + eps
+                    dy_ = path_y[s + 1] - path_y[s] + eps
+                    r = r + _norm2(dx_, dy_)
+                    ldx, ldy = dx_, dy_
+                ln = _norm2(ldx, ldy)
+                safe_ln = jnp.where(ln == 0.0, 1.0, ln)
+                dr_x = jnp.where(ln == 0.0, 0.0, ldx / safe_ln)
+                dr_y = jnp.where(ln == 0.0, 0.0, ldy / safe_ln)
+                denom = height * height + r * r
+                power = (r_coef**order) / denom
+                dp_scale = -power * (2.0 * r / denom)
+                dpow_x = dp_scale * dr_x
+                dpow_y = dp_scale * dr_y
+
+                val = valid * power
+                if soft_mode:
+                    gx = gvalid_x * power + valid * dpow_x
+                    gy = gvalid_y * power + valid * dpow_y
+                else:
+                    vf = valid.astype(px.dtype)
+                    gx = vf * dpow_x
+                    gy = vf * dpow_y
+                return val, gx, gy
+
+            return contrib_vag
+
+        def los_contrib_vag(px, py):
+            """LOS value + analytic pixel partials: the blocked test's
+            segment runs TX (constant) -> pixel (identity Jacobian), so
+            only the d-endpoint partials of :func:`_seg_intersect_vag`
+            contribute; the loss gate is a constant."""
+            zeros = jnp.zeros_like(px)
+            txx_t = jnp.full_like(px, txx)
+            txy_t = jnp.full_like(py, txy)
+            if soft_mode:
+                blk = jnp.zeros_like(px)
+                gblk_x, gblk_y = zeros, zeros
+            else:
+                blk = jnp.zeros_like(px, dtype=jnp.bool_)
+            for w in range(W):
+                wa_x, wa_y, wb_x, wb_y = read_patched(w)
+                if soft_mode:
+                    hit, _dhc, dhd = _seg_intersect_vag(
+                        wa_x, wa_y, wb_x, wb_y,
+                        txx_t, txy_t, px, py,
+                        soft_mode, alpha,
+                    )
+                    gblk_x = _max_grad_sel(blk, hit, gblk_x, dhd[0])
+                    gblk_y = _max_grad_sel(blk, hit, gblk_y, dhd[1])
+                    blk = jnp.maximum(blk, hit)
+                else:
+                    hit = _seg_intersect(
+                        wa_x, wa_y, wb_x, wb_y,
+                        txx_t, txy_t, px, py,
+                        soft_mode, alpha,
+                    )
+                    blk = blk | hit
+            if soft_mode:
+                loss_ok = _soft(tol, alpha, sigmoid)
+                valid_pre = jnp.minimum(1.0 - blk, loss_ok)
+                gvalid_x = _min_grad_sel(1.0 - blk, loss_ok, -gblk_x, 0.0)
+                gvalid_y = _min_grad_sel(1.0 - blk, loss_ok, -gblk_y, 0.0)
+                bad = jnp.isnan(valid_pre)
+                valid = jnp.nan_to_num(valid_pre)
+                gvalid_x = jnp.where(bad, 0.0, gvalid_x)
+                gvalid_y = jnp.where(bad, 0.0, gvalid_y)
+            else:
+                valid = ~blk
+            dx_ = px - txx + eps
+            dy_ = py - txy + eps
+            r = _norm2(dx_, dy_)
+            ln = r
+            safe_ln = jnp.where(ln == 0.0, 1.0, ln)
+            dr_x = jnp.where(ln == 0.0, 0.0, dx_ / safe_ln)
+            dr_y = jnp.where(ln == 0.0, 0.0, dy_ / safe_ln)
+            denom = height * height + r * r
+            power = 1.0 / denom
+            dp_scale = -power * (2.0 * r / denom)
+            dpow_x = dp_scale * dr_x
+            dpow_y = dp_scale * dr_y
+            val = valid * power
+            if soft_mode:
+                gx = gvalid_x * power + valid * dpow_x
+                gy = gvalid_y * power + valid * dpow_y
+            else:
+                vf = valid.astype(px.dtype)
+                gx = vf * dpow_x
+                gy = vf * dpow_y
+            return val, gx, gy
+
         def los_contrib(px, py):
                     # LOS: no bounce, direct blocked test.
                     if soft_mode:
@@ -1076,17 +1416,64 @@ def build_power_map_kernel_looped(
                         acc = acc + contrib(c, px, py)
             return acc
 
-        def pixel_body_vag(px, py):
-            """Value plus both pixel partials.
+        if with_grad and tangent_impl == "analytic":
+            contribs_vag = {
+                o: make_cand_contrib_vag(
+                    o, cand_ref_by_order[o], img_ref_by_order[o]
+                )
+                for o in cand_orders
+            }
 
-            One reverse sweep per candidate: ``jax.vjp`` of the
-            straight-line contribution yields d/dx and d/dy together
-            for ~one forward + one backward pass, where the double-jvp
-            fallback pays (primal + tangent) twice.  Applying vjp
-            *inside* the ``fori_loop`` body keeps the transposition
-            loop-free -- Mosaic cannot lower reverse mode over the loop
-            itself (the residual-stacking scan fails to legalize with a
-            foreach arity error; measured 2026-08).
+        def pixel_body_vag_analytic(px, py):
+            """Value plus both pixel partials, hand-derived (default).
+
+            The analytic sweep (see :func:`make_cand_contrib_vag`) costs
+            ~2x the forward stream with NO residual live-set and no AD
+            program at all, so it runs inside the ``fori_loop`` body
+            directly.
+            """
+            v = jnp.zeros_like(px)
+            gx = jnp.zeros_like(px)
+            gy = jnp.zeros_like(px)
+            for g, order in enumerate(group_orders):
+                count = group_counts[g]
+                if count == 0:
+                    continue
+                if order == 0:
+                    val, dx, dy = los_contrib_vag(px, py)
+                    v, gx, gy = v + val, gx + dx, gy + dy
+                else:
+                    contrib = contribs_vag[order]
+                    B = max(1, min(cand_block, count))
+                    nb = count // B
+
+                    def body(i, carry, _f=contrib, _B=B):
+                        vv, ax, ay = carry
+                        for b in range(_B):
+                            val, dx, dy = _f(i * _B + b, px, py)
+                            vv, ax, ay = vv + val, ax + dx, ay + dy
+                        return (vv, ax, ay)
+
+                    v, gx, gy = jax.lax.fori_loop(
+                        0, nb, body, (v, gx, gy)
+                    )
+                    for c in range(nb * B, count):
+                        val, dx, dy = contrib(c, px, py)
+                        v, gx, gy = v + val, gx + dx, gy + dy
+            return v, gx, gy
+
+        def pixel_body_vag(px, py):
+            """Value plus both pixel partials via per-candidate reverse.
+
+            One reverse sweep per candidate (round-2 scheme, kept for
+            A/B verification): ``jax.vjp`` of the straight-line
+            contribution yields d/dx and d/dy together for ~one forward
+            + one backward pass, where the double-jvp fallback pays
+            (primal + tangent) twice.  Applying vjp *inside* the
+            ``fori_loop`` body keeps the transposition loop-free --
+            Mosaic cannot lower reverse mode over the loop itself (the
+            residual-stacking scan fails to legalize with a foreach
+            arity error; measured 2026-08).
             """
             ones = jnp.ones_like(px)
             v = jnp.zeros_like(px)
@@ -1129,7 +1516,9 @@ def build_power_map_kernel_looped(
 
         if with_grad:
             val_ref, dx_ref, dy_ref = out_refs
-            if tangent_impl == "vjp":
+            if tangent_impl == "analytic":
+                val, dx, dy = pixel_body_vag_analytic(px, py)
+            elif tangent_impl == "vjp":
                 val, dx, dy = pixel_body_vag(px, py)
             else:
                 # Double-jvp fallback (A/B verification): forward-mode

@@ -86,18 +86,24 @@ def power_map_sharded(
     results gather back to a replicated host array and are reshaped to the
     grid. With ``backend="xla"`` (default) this is bitwise-identical to
     the single-device XLA tracer; ``backend="pallas"`` wraps the fused
-    Pallas kernel in :func:`jax.shard_map` (forward image-solver maps
-    only, each device's pixel shard must be a multiple of the 1024-pixel
-    tile).
+    Pallas kernel in :func:`jax.shard_map` (image-solver maps, each
+    device's pixel shard must be a multiple of the 1024-pixel tile).
+    ``grad``/``value_and_grad`` on the pallas backend run the analytic
+    in-kernel value+grad sweep per shard -- still zero communication
+    (pixel gradients are per-pixel; the kink contract of PARITY.md
+    applies vs the XLA tracer).
     """
     if mesh is None:
         mesh = grid_mesh(axis_name=axis_name)
 
     if backend == "pallas":
-        if grad or value_and_grad:
-            msg = "backend='pallas' sharded maps are forward-only"
-            raise ValueError(msg)
-        run = _make_sharded_pallas_fn(scene, mesh, axis_name, kwargs)
+        run = _make_sharded_pallas_fn(
+            scene, mesh, axis_name, kwargs,
+            mode="value_and_grad" if (grad or value_and_grad) else "value",
+        )
+        if grad:
+            base = run
+            run = lambda p: base(p)[1]  # noqa: E731
     else:
         run = jax.jit(
             _tracer.make_pixels_fn(
@@ -116,9 +122,15 @@ def power_map_sharded(
     return result[:n].reshape(X.shape)
 
 
-def _make_sharded_pallas_fn(scene, mesh: Mesh, axis_name: str, kwargs: dict):
+def _make_sharded_pallas_fn(
+    scene, mesh: Mesh, axis_name: str, kwargs: dict, mode: str = "value"
+):
     """Wrap the fused Pallas kernel in :func:`jax.shard_map` over the
-    pixel axis (each device runs the kernel on its local shard)."""
+    pixel axis (each device runs the kernel on its local shard).
+
+    ``mode="value_and_grad"`` shards the analytic in-kernel value+grad
+    sweep the same way: pixel gradients are per-pixel quantities, so the
+    sharded pass stays collective-free."""
     from ..logic import ENABLE_APPROX
     from ..ops.pallas_kernels import get_fused_run
     from ..rt import path_candidate_matrices
@@ -168,6 +180,7 @@ def _make_sharded_pallas_fn(scene, mesh: Mesh, axis_name: str, kwargs: dict):
         approx=approx,
         sigmoid=sigmoid,
         interpret=jax.default_backend() == "cpu",
+        mode=mode,
     )
     scalars = jnp.array([alpha, tol, patch, r_coef, height], dtype=jnp.float32)
     txs = jnp.stack([tx.xy for tx in scene.transmitters.values()])

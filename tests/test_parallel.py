@@ -71,6 +71,32 @@ def test_sharded_pallas_backend(mesh):
     chex.assert_trees_all_close(out, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_pallas_value_and_grad(mesh):
+    """The analytic in-kernel value+grad sweep under shard_map: zero
+    communication, matches the XLA tracer up to the PARITY.md kink
+    contract (isolated one-ulp crossover pixels)."""
+    from test_pallas import assert_close_except_kinks
+
+    scene = Scene.basic_scene()
+    X, Y = jnp.meshgrid(jnp.linspace(0.01, 0.99, 128), jnp.linspace(0.02, 0.98, 128))
+    Z, dZ = power_map_sharded(
+        scene, X, Y, mesh=mesh, max_order=1, approx=True,
+        backend="pallas", value_and_grad=True,
+    )
+    rZ, rdZ = tracer.power_map(
+        scene, X, Y, max_order=1, approx=True, value_and_grad=True,
+        backend="xla",
+    )
+    chex.assert_trees_all_close(Z, rZ, rtol=1e-4, atol=1e-5)
+    assert dZ.shape == (*X.shape, 2)
+    assert_close_except_kinks(dZ, rdZ)
+    g = power_map_sharded(
+        scene, X, Y, mesh=mesh, max_order=1, approx=True,
+        backend="pallas", grad=True,
+    )
+    chex.assert_trees_all_equal(g, dZ)
+
+
 class TestWallSharded:
     """2D (grid x wall) mesh: the O(candidates x walls) visibility work
     splits over the wall axis; results must match the replicated tracer."""

@@ -314,16 +314,14 @@ def _inner_main():
     Zpg = Zpg.reshape(Xg.shape)
     dZpg = dZpg.reshape(*Xg.shape, 2)
 
-    def _close_except_kinks(a, b, rtol, atol, frac=0.005):
+    def _close_except_kinks(a, b, rtol, atol):
         # Gradient maps kink where a pixel sits within one f32 ulp of a
         # soft-min/max crossover: the analytic kernel tangent and XLA AD
-        # pick different (equally valid) subgradients there. Tolerate
-        # <= frac such pixels; everything else must be allclose
-        # (tests/test_pallas.py::assert_close_except_kinks, PARITY.md).
-        bad = np.abs(np.asarray(a) - np.asarray(b)) > (
-            atol + rtol * np.abs(np.asarray(b))
-        )
-        return float(bad.mean()) <= frac
+        # pick different (equally valid) subgradients there (PARITY.md).
+        from differt2d_tpu.utils import kink_excess
+
+        n_bad, allowed = kink_excess(a, b, rtol=rtol, atol=atol)
+        return n_bad <= allowed
 
     grad_ok = bool(
         np.allclose(Zf, Zs, rtol=1e-4, atol=1e-6)

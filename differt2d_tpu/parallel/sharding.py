@@ -101,7 +101,7 @@ def power_map_sharded(
             scene, mesh, axis_name, kwargs,
             mode="value_and_grad" if (grad or value_and_grad) else "value",
         )
-        if grad:
+        if grad and not value_and_grad:
             base = run
             run = lambda p: base(p)[1]  # noqa: E731
     else:

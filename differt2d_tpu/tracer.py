@@ -785,6 +785,11 @@ def _pallas_eligible(scene, kwargs: dict) -> bool:
         return False
     if kwargs.get("many", 1) != 1:
         return False
+    # Implicit-function-theorem solver gradients exist only on the XLA
+    # path (optimize._minimize_implicit); the in-kernel solver always
+    # differentiates through the unrolled trajectory.
+    if kwargs.get("solver_grad", "unroll") != "unroll":
+        return False
     # The fused dispatch bakes (alpha, tol, patch, r_coef, height) into
     # the trace and hashes them as a cache key, so they must be concrete
     # host scalars here. A JAX tracer (e.g. under jax.grad over alpha) or
@@ -1033,6 +1038,8 @@ def power_map(
                 not in ("image", "fermat", "mpt"),
                 "power_fun": kwargs.get("power_fun") is not None,
                 "many": kwargs.get("many", 1) != 1,
+                "solver_grad": kwargs.get("solver_grad", "unroll")
+                != "unroll",
                 "function": kwargs.get("function", hard_sigmoid)
                 not in (hard_sigmoid, _sigmoid),
                 # TX-grid mode relies on path-reversal symmetry, which the
@@ -1053,6 +1060,10 @@ def power_map(
         solver = kwargs.pop("solver", "image")
         key = kwargs.pop("key", None)  # the image solver ignores the key
         steps = kwargs.pop("steps", 100)
+        # The kernels differentiate through the unrolled solve only;
+        # solver_grad="implicit" requests are kept on XLA by
+        # _pallas_eligible, so only the default survives to here.
+        kwargs.pop("solver_grad", None)
         if solver in ("fermat", "mpt"):
             kwargs["solver"] = solver
             kwargs["key"] = key

@@ -39,3 +39,29 @@ def received_power(
 
 received_power.vectorized = True  # type: ignore[attr-defined]
 """Marker: safe to vmap over batched paths in the grid tracer fast path."""
+
+
+def kink_excess(
+    actual,
+    desired,
+    rtol: float = 1e-4,
+    atol: float = 1e-5,
+    frac: float = 0.005,
+) -> tuple[int, float]:
+    """Count gradient-map pixels beyond tolerance vs the kink allowance.
+
+    Analytic in-kernel gradients agree with XLA AD everywhere except
+    KINK pixels -- pixels within one f32 ulp of a soft-min/max
+    crossover, where the two computations pick different (equally
+    valid) subgradients (PARITY.md "Known numerical tolerances").
+    Returns ``(n_bad, allowed)``: the comparison satisfies the contract
+    iff ``n_bad <= allowed``. The allowance is ``max(4, frac * size)``
+    -- kinks live on validity-transition *curves*, so small grids get
+    an absolute floor rather than a share of the area.
+    """
+    import numpy as np
+
+    a = np.asarray(actual)
+    d = np.asarray(desired)
+    bad = np.abs(a - d) > (atol + rtol * np.abs(d))
+    return int(bad.sum()), max(4.0, frac * bad.size)

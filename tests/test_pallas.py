@@ -18,27 +18,16 @@ TOL = dict(rtol=1e-4, atol=1e-5)
 
 
 def assert_close_except_kinks(actual, desired, frac=0.005, **tol):
-    """allclose, tolerating a tiny fraction of KINK pixels.
+    """allclose, tolerating a tiny fraction of KINK pixels (see
+    :func:`differt2d_tpu.utils.kink_excess` for the contract)."""
+    from differt2d_tpu.utils import kink_excess
 
-    Gradient maps kink where a pixel sits within one f32 ulp of a
-    soft-min/max crossover (e.g. a blocking transition): there the
-    hand-derived analytic tangent and XLA's AD pick different -- equally
-    valid -- subgradients (verified: neighbors 1e-5 away agree to 1e-6;
-    see the PARITY.md tolerance-contract discussion). Kink pixels must
-    stay <= ``frac`` of the map; everything else must be allclose."""
-    actual = np.asarray(actual)
-    desired = np.asarray(desired)
     tol = {**TOL, **tol}
-    err = np.abs(actual - desired)
-    bound = tol["atol"] + tol["rtol"] * np.abs(desired)
-    bad = err > bound
-    # Kinks live on validity-transition CURVES, so small test grids get
-    # an absolute floor (a 1-D boundary crosses O(sqrt(N)) pixels, not
-    # frac*N of them).
-    allowed = max(4.0, frac * bad.size)
-    n_bad = int(bad.sum())
+    n_bad, allowed = kink_excess(
+        actual, desired, rtol=tol["rtol"], atol=tol["atol"], frac=frac
+    )
     assert n_bad <= allowed, (
-        f"{n_bad}/{bad.size} pixels beyond kink allowance {allowed:.0f}"
+        f"{n_bad} pixels beyond kink allowance {allowed:.0f}"
     )
 
 
@@ -324,7 +313,8 @@ class TestOptSolverKernel:
         kernel (the interpreted 100-step adam loop is pathological; on
         TPU both auto-dispatch under the tolerance contract pinned by
         :class:`TestFlipRateContract`)."""
-        assert jax.default_backend() != "tpu"
+        if jax.default_backend() == "tpu":
+            pytest.skip("on TPU, fermat/mpt DO auto-dispatch (by design)")
         scene = Scene.square_scene()
         X, Y = grids
         auto = tracer.power_map(
@@ -575,3 +565,47 @@ def test_x64_mode_declines_pallas(grids):
                              interpret=True)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_vag_value_halves_match_value_mode():
+    """The vag kernels' contract is 'forward pass identical to the value
+    kernel' (make_contrib_vag / make_cand_contrib_vag docstrings); the
+    value half must stay BIT-identical so value maps and value_and_grad
+    maps can never silently desync (the forward pipeline exists in both
+    builders)."""
+    from differt2d_tpu.ops.pallas_kernels import (
+        build_power_map_kernel,
+        build_power_map_kernel_looped,
+    )
+    from differt2d_tpu.rt import path_candidate_matrices
+    from differt2d_tpu.tracer import scene_arrays
+
+    scene = Scene.basic_scene()
+    arrays = scene_arrays(scene)
+    groups = path_candidate_matrices(arrays.num_objects, 0, 2)
+    X, Y = jnp.meshgrid(
+        jnp.linspace(0.05, 0.95, 16), jnp.linspace(0.07, 0.93, 8)
+    )
+    pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+    scalars = jnp.array([100.0, 1e-2, 0.0, 0.5, 0.1], dtype=jnp.float32)
+    tx = scene.transmitters["tx"].xy
+    W = int(arrays.walls.shape[0])
+
+    val = build_power_map_kernel_looped(W, groups, approx=True, sigmoid=True,
+                                        interpret=True, mode="value")
+    vag = build_power_map_kernel_looped(W, groups, approx=True, sigmoid=True,
+                                        interpret=True, mode="value_and_grad")
+    v0 = val(pixels, tx, arrays.walls, arrays.kind, arrays.phi, scalars)
+    v1, _ = vag(pixels, tx, arrays.walls, arrays.kind, arrays.phi, scalars)
+    chex.assert_trees_all_close(v0, v1, rtol=1e-6, atol=2e-6)
+
+    g01 = path_candidate_matrices(arrays.num_objects, 0, 1)
+    walls_np = np.asarray(arrays.walls)
+    kinds_np = np.asarray(arrays.kind)
+    uval = build_power_map_kernel(walls_np, kinds_np, g01, approx=True,
+                                  interpret=True, mode="value")
+    uvag = build_power_map_kernel(walls_np, kinds_np, g01, approx=True,
+                                  interpret=True, mode="value_and_grad")
+    u0 = uval(pixels, tx, arrays.phi, scalars)
+    u1, _ = uvag(pixels, tx, arrays.phi, scalars)
+    chex.assert_trees_all_close(u0, u1, rtol=1e-6, atol=2e-6)

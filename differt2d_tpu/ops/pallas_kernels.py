@@ -446,7 +446,13 @@ def build_power_map_kernel(
             * the specular residual is identically zero in (px, py) for
               wall bounces (same identity), so only RIS residuals are
               differentiated;  XLA's value is float-noise (~1e-14), far
-              inside the equivalence tolerance (tests/test_pallas.py);
+              inside the equivalence tolerance (tests/test_pallas.py).
+              BOTH identities require an UNBROKEN image chain: a vertex
+              before a wall/RIS bounce pins the actual upstream point
+              away from the chain's virtual source, so such candidates
+              (detected statically from ``kinds_c``) take the full
+              analytic spec-residual and per-segment length gradients
+              instead;
             * min/max soft-logic combines differentiate through their
               arg-extremum only -- running (value, grad) selects, exactly
               the select structure XLA's reverse mode emits.
@@ -535,11 +541,27 @@ def build_power_map_kernel(
                     k = wx * d_s[0] + wy * d_s[1]
                     return k * gt_s[0], k * gt_s[1]
 
-                # --- residual loss: forward identical; gradient only for
-                # RIS terms (wall specular residuals are identically 0).
+                # --- residual loss: forward identical; gradient for RIS
+                # terms, and for WALL specular terms whose image chain is
+                # BROKEN (a vertex precedes the bounce, so the chain's
+                # virtual source differs from the actual upstream point
+                # and the reflection-law identity "residual == 0 in the
+                # pixel" no longer holds). Unbroken wall chains keep the
+                # zero-gradient shortcut (XLA's value there is float
+                # noise ~1e-14, inside the equivalence tolerance).
+                seen_vertex = False
+                broken = []
+                for i in cand:
+                    broken.append(seen_vertex)
+                    if kinds_c[i] == KIND_VERTEX:
+                        seen_vertex = True
+                chain_broken = any(
+                    b and kinds_c[i] != KIND_VERTEX
+                    for b, i in zip(broken, cand)
+                )
                 loss = jnp.zeros_like(px)
                 gloss_x, gloss_y = zeros, zeros
-                has_ris = False
+                has_loss_grad = False
                 for j, i in enumerate(cand):
                     axc, ayc = path_x[j], path_y[j]
                     bxc, byc = path_x[j + 1], path_y[j + 1]
@@ -549,7 +571,7 @@ def build_power_map_kernel(
                     nx, ny = wall_normal(i)
                     rx_, ry_ = _normalize(cxc - bxc, cyc - byc)
                     if kinds_c[i] == KIND_RIS:
-                        has_ris = True
+                        has_loss_grad = True
                         sin_a = (-rx_) * ny - (-ry_) * nx
                         cos_a = (-rx_) * nx + (-ry_) * ny
                         sin_p = jnp.sin(phi_ref[i])
@@ -578,6 +600,42 @@ def build_power_map_kernel(
                         refx, refy = ivx - 2.0 * d * nx, ivy - 2.0 * d * ny
                         ex, ey = rx_ - refx, ry_ - refy
                         loss = loss + ex * ex + ey * ey
+                        if broken[j]:
+                            # Full spec gradient (see the looped twin):
+                            # d spec = 2e.drv - 2eR.div with both
+                            # normalize Jacobians.
+                            has_loss_grad = True
+                            s_wx, s_wy = 2.0 * ex, 2.0 * ey
+                            vx_s, vy_s = cxc - bxc, cyc - byc
+                            vn2 = vx_s * vx_s + vy_s * vy_s
+                            v_zero = vn2 == 0.0
+                            inv_vn = jnp.where(
+                                v_zero, 0.0,
+                                1.0 / jnp.sqrt(jnp.where(v_zero, 1.0, vn2)),
+                            )
+                            vi_x, vi_y = bxc - axc, byc - ayc
+                            vi2 = vi_x * vi_x + vi_y * vi_y
+                            vi_zero = vi2 == 0.0
+                            inv_vi = jnp.where(
+                                vi_zero, 0.0,
+                                1.0 / jnp.sqrt(jnp.where(vi_zero, 1.0, vi2)),
+                            )
+                            rw = rx_ * s_wx + ry_ * s_wy
+                            qcx = (s_wx - rx_ * rw) * inv_vn
+                            qcy = (s_wy - ry_ * rw) * inv_vn
+                            ndw = nx * s_wx + ny * s_wy
+                            mx = s_wx - 2.0 * nx * ndw
+                            my = s_wy - 2.0 * ny * ndw
+                            imw = ivx * mx + ivy * my
+                            qax = (mx - ivx * imw) * inv_vi
+                            qay = (my - ivy * imw) * inv_vi
+                            cgx, cgy = contract(pstate[j + 2], qcx, qcy)
+                            bgx, bgy = contract(
+                                pstate[j + 1], qcx + qax, qcy + qay
+                            )
+                            agx, agy = contract(pstate[j], qax, qay)
+                            gloss_x = gloss_x + cgx - bgx + agx
+                            gloss_y = gloss_y + cgy - bgy + agy
 
                 # --- on_objects with running-min gradient
                 if soft_mode:
@@ -656,7 +714,7 @@ def build_power_map_kernel(
                     gm1_x = _min_grad_sel(on, 1.0 - blk, gon_x, -gblk_x)
                     gm1_y = _min_grad_sel(on, 1.0 - blk, gon_y, -gblk_y)
                     valid_pre = jnp.minimum(m1, loss_ok)
-                    if has_ris:
+                    if has_loss_grad:
                         slo = -_soft_grad(tol - loss, alpha, sigmoid)
                         glo_x, glo_y = slo * gloss_x, slo * gloss_y
                     else:
@@ -671,17 +729,35 @@ def build_power_map_kernel(
                     valid = on & (~blk) & (loss < tol)
 
                 # --- path length + power; d r/dp = unit(final segment)
+                # by image-method stationarity for UNBROKEN chains; a
+                # vertex before any wall/RIS bounce breaks the identity,
+                # so those candidates take the full per-segment sum.
                 r = jnp.zeros_like(px)
-                ldx = ldy = None
-                for seg in range(order + 1):
-                    dx_ = path_x[seg + 1] - path_x[seg] + eps
-                    dy_ = path_y[seg + 1] - path_y[seg] + eps
-                    r = r + _norm2(dx_, dy_)
-                    ldx, ldy = dx_, dy_
-                ln = _norm2(ldx, ldy)
-                safe_ln = jnp.where(ln == 0.0, 1.0, ln)
-                dr_x = jnp.where(ln == 0.0, 0.0, ldx / safe_ln)
-                dr_y = jnp.where(ln == 0.0, 0.0, ldy / safe_ln)
+                if chain_broken:
+                    dr_x, dr_y = zeros, zeros
+                    for seg in range(order + 1):
+                        dx_ = path_x[seg + 1] - path_x[seg] + eps
+                        dy_ = path_y[seg + 1] - path_y[seg] + eps
+                        sl = _norm2(dx_, dy_)
+                        r = r + sl
+                        safe_sl = jnp.where(sl == 0.0, 1.0, sl)
+                        ux_ = jnp.where(sl == 0.0, 0.0, dx_ / safe_sl)
+                        uy_ = jnp.where(sl == 0.0, 0.0, dy_ / safe_sl)
+                        hgx, hgy = contract(pstate[seg + 1], ux_, uy_)
+                        lgx, lgy = contract(pstate[seg], ux_, uy_)
+                        dr_x = dr_x + hgx - lgx
+                        dr_y = dr_y + hgy - lgy
+                else:
+                    ldx = ldy = None
+                    for seg in range(order + 1):
+                        dx_ = path_x[seg + 1] - path_x[seg] + eps
+                        dy_ = path_y[seg + 1] - path_y[seg] + eps
+                        r = r + _norm2(dx_, dy_)
+                        ldx, ldy = dx_, dy_
+                    ln = _norm2(ldx, ldy)
+                    safe_ln = jnp.where(ln == 0.0, 1.0, ln)
+                    dr_x = jnp.where(ln == 0.0, 0.0, ldx / safe_ln)
+                    dr_y = jnp.where(ln == 0.0, 0.0, ldy / safe_ln)
                 denom = height * height + r * r
                 power = (r_coef**order) / denom
                 dp_scale = -power * (2.0 * r / denom)
@@ -1124,7 +1200,15 @@ def build_power_map_kernel_looped(
                     return k * gt_s[0], k * gt_s[1]
 
                 # Residuals: forward identical to make_cand_contrib;
-                # gradient only through RIS terms (runtime-masked).
+                # FULL analytic gradient per kind (runtime-selected).
+                # The specular gradient cannot be skipped here: the
+                # reflection-law identity (residual == 0 in the pixel)
+                # breaks whenever a VERTEX precedes the bounce -- the
+                # image chain's virtual source differs from the actual
+                # upstream point -- and kinds are runtime values in this
+                # kernel, so the general formula always runs (for
+                # unbroken chains its value is float noise, matching
+                # XLA's AD of the same expression).
                 loss = jnp.zeros_like(px)
                 gloss_x, gloss_y = zeros, zeros
                 for j in range(order):
@@ -1146,24 +1230,48 @@ def build_power_map_kernel_looped(
                     res = jnp.where(kinds[j] == KIND_RIS, ris, spec)
                     res = jnp.where(kinds[j] == KIND_VERTEX, 0.0, res)
                     loss = loss + res
-                    # RIS gradient chain (unrolled twin for derivation):
-                    # d term/d rhat -> normalize Jacobian -> dv = dc - db.
-                    is_ris = kinds[j] == KIND_RIS
-                    wx = 2.0 * (sin_a - sin_p) * (-ny) + 2.0 * (cos_a - cos_p) * (-nx)
-                    wy = 2.0 * (sin_a - sin_p) * nx + 2.0 * (cos_a - cos_p) * (-ny)
+                    # Normalize Jacobians: J = (I - uhat uhat^T)/|v| for
+                    # the outgoing (rv, over vc = c-b) and incoming
+                    # (iv, over vi = b-a) unit vectors.
                     vx_s, vy_s = cxc - bxc, cyc - byc
                     vn2 = vx_s * vx_s + vy_s * vy_s
                     v_zero = vn2 == 0.0
                     inv_vn = jnp.where(
                         v_zero, 0.0, 1.0 / jnp.sqrt(jnp.where(v_zero, 1.0, vn2))
                     )
+                    vi_x, vi_y = bxc - axc, byc - ayc
+                    vi2 = vi_x * vi_x + vi_y * vi_y
+                    vi_zero = vi2 == 0.0
+                    inv_vi = jnp.where(
+                        vi_zero, 0.0, 1.0 / jnp.sqrt(jnp.where(vi_zero, 1.0, vi2))
+                    )
+                    is_ris = kinds[j] == KIND_RIS
+                    # d term / d rhat: RIS angle chain or spec 2e.
+                    r_wx = 2.0 * (sin_a - sin_p) * (-ny) + 2.0 * (cos_a - cos_p) * (-nx)
+                    r_wy = 2.0 * (sin_a - sin_p) * nx + 2.0 * (cos_a - cos_p) * (-ny)
+                    s_wx, s_wy = 2.0 * ex, 2.0 * ey
+                    wx = jnp.where(is_ris, r_wx, s_wx)
+                    wy = jnp.where(is_ris, r_wy, s_wy)
                     rw = rx_ * wx + ry_ * wy
-                    qx = (wx - rx_ * rw) * inv_vn
-                    qy = (wy - ry_ * rw) * inv_vn
-                    cgx, cgy = contract(j + 2, qx, qy)
-                    bgx, bgy = contract(j + 1, qx, qy)
-                    gloss_x = gloss_x + jnp.where(is_ris, cgx - bgx, 0.0)
-                    gloss_y = gloss_y + jnp.where(is_ris, cgy - bgy, 0.0)
+                    qcx = (wx - rx_ * rw) * inv_vn
+                    qcy = (wy - ry_ * rw) * inv_vn
+                    # spec only: d term / d ivhat = -2e R (R = I - 2nn^T),
+                    # pulled through the incoming normalize Jacobian.
+                    ndw = nx * s_wx + ny * s_wy
+                    mx = s_wx - 2.0 * nx * ndw
+                    my = s_wy - 2.0 * ny * ndw
+                    imw = ivx * mx + ivy * my
+                    qax = jnp.where(is_ris, 0.0, (mx - ivx * imw) * inv_vi)
+                    qay = jnp.where(is_ris, 0.0, (my - ivy * imw) * inv_vi)
+                    # d term = qc.dc - (qc + qa).db + qa.da
+                    cgx, cgy = contract(j + 2, qcx, qcy)
+                    bgx, bgy = contract(j + 1, qcx + qax, qcy + qay)
+                    agx, agy = contract(j, qax, qay)
+                    tgx = cgx - bgx + agx
+                    tgy = cgy - bgy + agy
+                    is_vtx = kinds[j] == KIND_VERTEX
+                    gloss_x = gloss_x + jnp.where(is_vtx, 0.0, tgx)
+                    gloss_y = gloss_y + jnp.where(is_vtx, 0.0, tgy)
 
                 # on_objects with running-min gradient.
                 if soft_mode:
@@ -1258,19 +1366,28 @@ def build_power_map_kernel_looped(
                 else:
                     valid = on & (~blk) & (loss < tol)
 
-                # Path length + power; d r/dp = unit(final segment) by
-                # the image-method stationarity identity.
+                # Path length + power; FULL dr/dp (every segment's unit
+                # vector contracted against both endpoint Jacobians).
+                # The unit(final segment) shortcut relies on the
+                # image-method stationarity identity, which breaks when
+                # a vertex precedes a wall/RIS bounce -- kinds are
+                # runtime here, so the general sum always runs (the
+                # stationary terms it adds are ~0 for unbroken chains,
+                # exactly like XLA's AD of the same expression).
                 r = jnp.zeros_like(px)
-                ldx = ldy = None
+                dr_x, dr_y = zeros, zeros
                 for s in range(order + 1):
                     dx_ = path_x[s + 1] - path_x[s] + eps
                     dy_ = path_y[s + 1] - path_y[s] + eps
-                    r = r + _norm2(dx_, dy_)
-                    ldx, ldy = dx_, dy_
-                ln = _norm2(ldx, ldy)
-                safe_ln = jnp.where(ln == 0.0, 1.0, ln)
-                dr_x = jnp.where(ln == 0.0, 0.0, ldx / safe_ln)
-                dr_y = jnp.where(ln == 0.0, 0.0, ldy / safe_ln)
+                    seg = _norm2(dx_, dy_)
+                    r = r + seg
+                    safe_seg = jnp.where(seg == 0.0, 1.0, seg)
+                    ux_ = jnp.where(seg == 0.0, 0.0, dx_ / safe_seg)
+                    uy_ = jnp.where(seg == 0.0, 0.0, dy_ / safe_seg)
+                    hgx, hgy = contract(s + 1, ux_, uy_)
+                    lgx, lgy = contract(s, ux_, uy_)
+                    dr_x = dr_x + hgx - lgx
+                    dr_y = dr_y + hgy - lgy
                 denom = height * height + r * r
                 power = (r_coef**order) / denom
                 dp_scale = -power * (2.0 * r / denom)

@@ -609,3 +609,89 @@ def test_vag_value_halves_match_value_mode():
     u0 = uval(pixels, tx, arrays.phi, scalars)
     u1, _ = uvag(pixels, tx, arrays.phi, scalars)
     chex.assert_trees_all_close(u0, u1, rtol=1e-6, atol=2e-6)
+
+
+def test_looped_analytic_vag_mixed_kinds_matches_vjp():
+    """RIS loss-gradient chain and vertex (zero grad-t rank-1 state)
+    paths of the looped ANALYTIC vag vs the AD-based per-candidate vjp
+    scheme, at order 2 where bounce Jacobians chain."""
+    from differt2d_tpu.ops.pallas_kernels import build_power_map_kernel_looped
+    from differt2d_tpu.rt import path_candidate_matrices
+    from differt2d_tpu.tracer import scene_arrays
+
+    scene = Scene.square_scene().add_objects(
+        RIS(xys=jnp.array([[0.5, 0.3], [0.5, 0.7]])),
+        Vertex(xy=jnp.array([0.25, 0.75])),
+    )
+    arrays = scene_arrays(scene)
+    groups = path_candidate_matrices(arrays.num_objects, 0, 2)  # 37 cands
+    X, Y = jnp.meshgrid(
+        jnp.linspace(0.05, 0.95, 16), jnp.linspace(0.07, 0.93, 8)
+    )
+    pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+    scalars = jnp.array([100.0, 1e-2, 0.0, 0.5, 0.1], dtype=jnp.float32)
+    tx = scene.transmitters["tx"].xy
+    W = int(arrays.walls.shape[0])
+    outs = {}
+    for impl in ("analytic", "vjp"):
+        run = build_power_map_kernel_looped(
+            W, groups, approx=True, sigmoid=True, interpret=True,
+            mode="value_and_grad", tangent_impl=impl,
+        )
+        outs[impl] = run(
+            pixels, tx, arrays.walls, arrays.kind, arrays.phi, scalars
+        )
+    for part in outs["analytic"]:
+        assert np.isfinite(np.asarray(part)).all()
+    # Value halves: ulp-scale only (separately-jitted programs may
+    # FMA-contract differently); gradients: kink contract.
+    chex.assert_trees_all_close(
+        outs["analytic"][0], outs["vjp"][0], rtol=1e-6, atol=2e-6
+    )
+    assert_close_except_kinks(outs["analytic"][1], outs["vjp"][1], atol=1e-4)
+
+
+def test_unrolled_vag_vertex_broken_chain_matches_looped():
+    """A vertex BEFORE a wall/RIS bounce breaks the image-method
+    stationarity identities; the unrolled vag must take the full
+    analytic spec-residual / length gradients there (static detection).
+    Run eagerly (interpret + jit of the unrolled stream is XLA:CPU-
+    pathological); the looped analytic (vjp-verified above) is the
+    reference."""
+    from differt2d_tpu.ops.pallas_kernels import (
+        build_power_map_kernel,
+        build_power_map_kernel_looped,
+    )
+    from differt2d_tpu.rt import path_candidate_matrices
+    from differt2d_tpu.tracer import scene_arrays
+
+    scene = Scene.square_scene().add_objects(
+        RIS(xys=jnp.array([[0.5, 0.3], [0.5, 0.7]])),
+        Vertex(xy=jnp.array([0.25, 0.75])),
+    )
+    arrays = scene_arrays(scene)
+    full = path_candidate_matrices(arrays.num_objects, 2, 2)
+    # Only the chain-broken candidates: vertex (index 5) first.
+    sel = np.asarray(full[2])
+    sel = sel[sel[:, 0] == 5]
+    assert sel.shape[0] >= 3
+    groups = {2: sel}
+    X, Y = jnp.meshgrid(
+        jnp.linspace(0.05, 0.95, 16), jnp.linspace(0.07, 0.93, 8)
+    )
+    pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+    scalars = jnp.array([100.0, 1e-2, 0.0, 0.5, 0.1], dtype=jnp.float32)
+    tx = scene.transmitters["tx"].xy
+    W = int(arrays.walls.shape[0])
+    unrolled = build_power_map_kernel(
+        np.asarray(arrays.walls), np.asarray(arrays.kind), groups,
+        approx=True, sigmoid=True, interpret=True, mode="value_and_grad",
+    )
+    vu, du = unrolled(pixels, tx, arrays.phi, scalars)
+    looped = build_power_map_kernel_looped(
+        W, groups, approx=True, sigmoid=True, interpret=True,
+        mode="value_and_grad", tangent_impl="vjp",
+    )
+    vl, dl = looped(pixels, tx, arrays.walls, arrays.kind, arrays.phi, scalars)
+    chex.assert_trees_all_close(vu, vl, rtol=1e-6, atol=2e-6)
+    assert_close_except_kinks(du, dl, atol=1e-4)

@@ -37,6 +37,14 @@ def main():
     parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--learning-rate", type=float, default=1e-2)
     parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument(
+        "--tx", type=float, nargs=2, default=None, metavar=("X", "Y"),
+        help="TX position (default: the scene's own TX)",
+    )
+    parser.add_argument(
+        "--rx", type=float, nargs=2, default=None, metavar=("X", "Y"),
+        help="RX position (default: the scene's own RX)",
+    )
     args = parser.parse_args()
 
     scene = Scene.from_scene_name(args.scene)
@@ -45,6 +53,19 @@ def main():
     num_walls = arrays.num_objects
     tx = scene.transmitters["tx"].xy
     rx = scene.receivers["rx"].xy
+    if args.scene == "city_extract_scene" and args.tx is None and args.rx is None:
+        # The geojson default corner TX/RX (reference from_geojson
+        # semantics) see ZERO valid low-order paths across this dense
+        # extract -- an all-zero reward trains nothing. Default to a
+        # street-corridor pair with LOS + order-1 reflections instead.
+        tx = jnp.array([0.667, 0.635], dtype=walls.dtype)
+        rx = jnp.array([0.670, 0.400], dtype=walls.dtype)
+        print("city extract: using street-corridor TX/RX "
+              f"{tx.tolist()} -> {rx.tolist()} (see --tx/--rx)")
+    if args.tx is not None:
+        tx = jnp.array(args.tx, dtype=walls.dtype)
+    if args.rx is not None:
+        rx = jnp.array(args.rx, dtype=walls.dtype)
 
     model = FlowNet(num_walls=num_walls, max_order=args.order)
     reward = make_reward_fn(scene, order=args.order)

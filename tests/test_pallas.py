@@ -695,3 +695,42 @@ def test_unrolled_vag_vertex_broken_chain_matches_looped():
     vl, dl = looped(pixels, tx, arrays.walls, arrays.kind, arrays.phi, scalars)
     chex.assert_trees_all_close(vu, vl, rtol=1e-6, atol=2e-6)
     assert_close_except_kinks(du, dl, atol=1e-4)
+
+
+def test_multi_tx_vag_matches_xla(grids):
+    """Multiple transmitters: per-TX (value, grad) tuples sum inside the
+    jitted dispatch; must match the XLA tracer (kink contract)."""
+    from differt2d_tpu.geometry import Point
+
+    scene = Scene.basic_scene().update_transmitters(
+        tx2=Point(xy=jnp.array([0.8, 0.8]))
+    )
+    X, Y = grids
+    rv, rg = tracer.power_map(
+        scene, X, Y, max_order=1, approx=True, value_and_grad=True,
+        backend="xla",
+    )
+    pv, pg = pallas_power_map(
+        scene, X, Y, max_order=1, approx=True, value_and_grad=True,
+        interpret=True,
+    )
+    chex.assert_trees_all_close(rv, pv, **TOL)
+    assert_close_except_kinks(pg, rg)
+
+
+def test_tx_grid_vag_matches_xla(grids):
+    """TX-grid gradient maps through path-reversal symmetry (wall-only
+    scenes): the pixel IS the TX end after the swap, so the analytic
+    pixel partials are the TX-coordinate gradients."""
+    scene = Scene.basic_scene()
+    X, Y = grids
+    rv, rg = tracer.power_map(
+        scene, X, Y, max_order=1, approx=True, value_and_grad=True,
+        on_transmitters=True, backend="xla",
+    )
+    pv, pg = tracer.power_map(
+        scene, X, Y, max_order=1, approx=True, value_and_grad=True,
+        on_transmitters=True, backend="pallas",
+    )
+    chex.assert_trees_all_close(rv, pv, **TOL)
+    assert_close_except_kinks(pg, rg)

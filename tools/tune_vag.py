@@ -67,12 +67,13 @@ def guard(name, fn):
 
 
 def main():
-    rec(item="start", device=str(jax.devices()[0]))
+    smoke = "--smoke" in sys.argv  # CPU dry-run: tiny shapes, same code
+    rec(item="start", device=str(jax.devices()[0]), smoke=smoke)
     scene = Scene.basic_scene()
     arrays = scene_arrays(scene)
     key = jax.random.PRNGKey(1234)
 
-    n = 1024
+    n = 64 if smoke else 1024
     X, Y = jnp.meshgrid(jnp.linspace(0.01, 0.99, n), jnp.linspace(0.01, 0.99, n))
     pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
     scalars = jnp.array([100.0, 1e-2, 0.0, 0.5, 0.1], dtype=jnp.float32)
@@ -82,6 +83,8 @@ def main():
     kinds_np = np.asarray(arrays.kind)
     g01 = path_candidate_matrices(arrays.num_objects, 0, 1)
     g02 = path_candidate_matrices(arrays.num_objects, 0, 2)
+
+    interp = jax.default_backend() == "cpu"
 
     # 1. Headline: power_map vag via auto dispatch (unrolled analytic).
     def item1():
@@ -100,11 +103,12 @@ def main():
         build_power_map_kernel_looped,
     )
 
-    for br in (8, 32):
+    for br in (() if smoke else (8, 32)):  # unrolled jit-interpret is
+        # XLA:CPU-pathological; smoke covers the looped builders only.
         def item2(br=br):
             kern = build_power_map_kernel(
                 walls_np, kinds_np, g01, approx=True,
-                mode="value_and_grad", block_rows=br,
+                mode="value_and_grad", block_rows=br, interpret=interp,
             )
             f = jax.jit(lambda p: kern(p, tx, arrays.phi, scalars))
             t = chained_map_time(f, pixels, k=10, reps=3)
@@ -119,7 +123,7 @@ def main():
         def item3(impl=impl, cb=cb):
             kern = build_power_map_kernel_looped(
                 W, g01, approx=True, mode="value_and_grad",
-                tangent_impl=impl, cand_block=cb,
+                tangent_impl=impl, cand_block=cb, interpret=interp,
             )
             f = jax.jit(
                 lambda p: kern(p, tx, arrays.walls, arrays.kind,
@@ -133,6 +137,8 @@ def main():
 
     # 4. Order-2 vag: unrolled-analytic vs looped-analytic (crossover).
     def item4a():
+        if smoke:
+            return dict(skipped=True)
         kern = build_power_map_kernel(
             walls_np, kinds_np, g02, approx=True,
             mode="value_and_grad", block_rows=8,
@@ -147,7 +153,7 @@ def main():
     def item4b():
         kern = build_power_map_kernel_looped(
             W, g02, approx=True, mode="value_and_grad",
-            tangent_impl="analytic",
+            tangent_impl="analytic", interpret=interp,
         )
         f = jax.jit(
             lambda p: kern(p, tx, arrays.walls, arrays.kind,
@@ -161,11 +167,13 @@ def main():
 
     # 5. Flip rates vs XLA (contract numbers for PARITY.md).
     def item5():
+        ns = 16 if smoke else 64
         Xs, Ys = jnp.meshgrid(
-            jnp.linspace(0.05, 0.95, 64), jnp.linspace(0.04, 0.96, 64)
+            jnp.linspace(0.05, 0.95, ns), jnp.linspace(0.04, 0.96, ns)
         )
         sq = Scene.square_scene()
-        kw = dict(order=1, solver="mpt", steps=100, approx=True, key=key)
+        kw = dict(order=1, solver="mpt", steps=30 if smoke else 100,
+                  approx=True, key=key)
         ref = tracer.power_map(sq, Xs, Ys, backend="xla", **kw)
         pal = tracer.power_map(sq, Xs, Ys, backend="pallas", **kw)
         err = np.abs(np.asarray(pal) - np.asarray(ref))
@@ -210,7 +218,8 @@ def main():
                 RIS(xys=jnp.array([[0.5, 0.3], [0.5, 0.7]]), phi=phi)
             )
             Z = tracer.power_map(
-                s, Xr, Yr, order=1, solver="mpt", steps=100, approx=True,
+                s, Xr, Yr, order=1, solver="mpt",
+                steps=20 if smoke else 100, approx=True,
                 key=key, filter_objects=lambda o: isinstance(o, RIS),
             )
             return -jnp.sum(Z)

@@ -264,175 +264,17 @@ def build_power_map_kernel(
             d = (x - axw) * nx + (y - ayw) * ny
             return x - 2.0 * d * nx, y - 2.0 * d * ny
 
-        def blocked_combine(acc, hit):
-            if soft_mode:
-                return jnp.maximum(acc, hit)
-            return acc | hit
 
-        def valid_and(*vals):
-            out = vals[0]
-            for v in vals[1:]:
-                out = jnp.minimum(out, v) if soft_mode else (out & v)
-            return out
 
-        def segment_blocked(ref, sax, say, sbx, sby, skip):
-            """Max/any over walls (minus ``skip``) of intersection with
-            the segment; wall endpoints grown by ``patch`` (reference
-            geometry.py:625-639).  ``ref`` supplies the tile shape."""
-            acc = (
-                jnp.zeros_like(ref)
-                if soft_mode
-                else jnp.zeros_like(ref, dtype=jnp.bool_)
-            )
-            for w in range(W):
-                if w in skip or kinds_c[w] == KIND_VERTEX:
-                    continue
-                axw, ayw, bxw, byw = wall_scalars(w)
-                tx_, ty_ = bxw - axw, byw - ayw
-                wa_x = axw - patch * tx_
-                wa_y = ayw - patch * ty_
-                wb_x = bxw + patch * tx_
-                wb_y = byw + patch * ty_
-                hit = _seg_intersect(
-                    wa_x, wa_y, wb_x, wb_y, sax, say, sbx, sby,
-                    soft_mode, alpha,
-                )
-                acc = blocked_combine(acc, hit)
-            return acc
-
-        def make_contrib(order, cand):
-            """``contrib(px, py) -> valid * power`` for ONE candidate whose
-            wall indices are compile-time constants.  Straight-line in
-            ``px, py``, so per-candidate reverse mode (the vag path below)
-            transposes without residual stacking."""
-
-            def contrib(px, py):
-                    # --- image-method solve (forward scalar mirrors, backward
-                    # elementwise intersections; reference geometry.py:1086-1110)
-                    images = []
-                    ix, iy = txx, txy
-                    for i in cand:
-                        if kinds_c[i] == KIND_VERTEX:
-                            # Zero-length segment: mirror is identity.
-                            images.append((ix, iy))
-                        else:
-                            ix, iy = mirror_scalar(ix, iy, i)
-                            images.append((ix, iy))
-
-                    ptx, pty = px, py
-                    bounce = [None] * order
-                    for j in range(order - 1, -1, -1):
-                        i = cand[j]
-                        axw, ayw, _, _ = wall_scalars(i)
-                        if kinds_c[i] == KIND_VERTEX:
-                            ptx = jnp.full_like(px, axw)
-                            pty = jnp.full_like(py, ayw)
-                        else:
-                            nx, ny = wall_normal(i)
-                            imx, imy = images[j]
-                            ux, uy = ptx - imx, pty - imy
-                            un = ux * nx + uy * ny
-                            vn = (axw - ptx) * nx + (ayw - pty) * ny
-                            un_zero = un == 0.0
-                            safe_un = jnp.where(un_zero, 1.0, un)
-                            s = jnp.where(un_zero, 0.0, vn / safe_un)
-                            ptx = ptx + s * ux
-                            pty = pty + s * uy
-                        bounce[j] = (ptx, pty)
-
-                    # Full path point list: [tx, bounces..., pixel].
-                    path_x = [jnp.full_like(px, txx)] + [b[0] for b in bounce] + [px]
-                    path_y = [jnp.full_like(py, txy)] + [b[1] for b in bounce] + [py]
-
-                    # --- residual loss (reference geometry.py:643-650, 698-711)
-                    loss = jnp.zeros_like(px)
-                    for j, i in enumerate(cand):
-                        axc, ayc = path_x[j], path_y[j]
-                        bxc, byc = path_x[j + 1], path_y[j + 1]
-                        cxc, cyc = path_x[j + 2], path_y[j + 2]
-                        if kinds_c[i] == KIND_VERTEX:
-                            continue
-                        nx, ny = wall_normal(i)
-                        rx_, ry_ = _normalize(cxc - bxc, cyc - byc)
-                        if kinds_c[i] == KIND_RIS:
-                            sin_a = (-rx_) * ny - (-ry_) * nx
-                            cos_a = (-rx_) * nx + (-ry_) * ny
-                            sin_p = jnp.sin(phi_ref[i])
-                            cos_p = jnp.cos(phi_ref[i])
-                            loss = loss + (sin_a - sin_p) ** 2 + (cos_a - cos_p) ** 2
-                        else:
-                            ivx, ivy = _normalize(bxc - axc, byc - ayc)
-                            d = ivx * nx + ivy * ny
-                            refx, refy = ivx - 2.0 * d * nx, ivy - 2.0 * d * ny
-                            ex, ey = rx_ - refx, ry_ - refy
-                            loss = loss + ex * ex + ey * ey
-
-                    # --- on_objects (reference geometry.py:821-854)
-                    if soft_mode:
-                        on = jnp.ones_like(px)
-                    else:
-                        on = jnp.ones_like(px, dtype=jnp.bool_)
-                    for j, i in enumerate(cand):
-                        if kinds_c[i] == KIND_VERTEX:
-                            continue
-                        axw, ayw, bxw, byw = wall_scalars(i)
-                        dxw, dyw = bxw - axw, byw - ayw
-                        sq = dxw * dxw + dyw * dyw
-                        sq = sq if sq != 0.0 else 1.0
-                        bxc, byc = path_x[j + 1], path_y[j + 1]
-                        t = ((bxc - axw) * dxw + (byc - ayw) * dyw) / sq
-                        if soft_mode:
-                            contains = jnp.minimum(
-                                _soft(t, alpha, sigmoid),
-                                _soft(1.0 - t, alpha, sigmoid),
-                            )
-                        else:
-                            contains = (t >= 0.0) & (t <= 1.0)
-                        on = valid_and(on, contains)
-
-                    # --- blocked (reference geometry.py:856-906)
-                    if soft_mode:
-                        blk = jnp.zeros_like(px)
-                    else:
-                        blk = jnp.zeros_like(px, dtype=jnp.bool_)
-                    idx = [-1, *cand, -1]
-                    for s in range(order + 1):
-                        skip = {idx[s], idx[s + 1]} - {-1}
-                        blk = blocked_combine(
-                            blk,
-                            segment_blocked(
-                                px,
-                                path_x[s], path_y[s],
-                                path_x[s + 1], path_y[s + 1],
-                                skip,
-                            ),
-                        )
-
-                    # --- validity x power (reference geometry.py:908-963 +
-                    # utils.py:18-54)
-                    if soft_mode:
-                        loss_ok = _soft(tol - loss, alpha, sigmoid)
-                        valid = jnp.minimum(jnp.minimum(on, 1.0 - blk), loss_ok)
-                        valid = jnp.nan_to_num(valid)
-                    else:
-                        valid = on & (~blk) & (loss < tol)
-
-                    r = jnp.zeros_like(px)
-                    for s in range(order + 1):
-                        dx_ = path_x[s + 1] - path_x[s] + eps
-                        dy_ = path_y[s + 1] - path_y[s] + eps
-                        r = r + _norm2(dx_, dy_)
-                    power = (r_coef**order) / (height * height + r * r)
-                    return valid * power
-
-            return contrib
-
-        def make_contrib_vag(order, cand):
-            """``contrib_vag(px, py) -> (valid*power, d/dpx, d/dpy)``:
-            forward pass identical to :func:`make_contrib` plus
-            HAND-DERIVED pixel partials folded into the same sweep (no
-            ``jax.vjp`` reverse program, no residual live-set).  Analytic
-            structure exploited:
+        def make_contrib(order, cand, want_grad=False):
+            """Per-candidate contribution; wall indices are compile-time
+            constants.  ``contrib(px, py)`` returns ``valid * power``;
+            with ``want_grad=True`` it returns
+            ``(valid*power, d/dpx, d/dpy)`` with HAND-DERIVED pixel
+            partials folded into the same sweep (no ``jax.vjp`` reverse
+            program, no residual live-set).  One forward pipeline serves
+            both modes, so value maps and value_and_grad maps cannot
+            desync.  Analytic structure exploited by the partials:
 
             * each bounce point moves along its wall LINE, so its pixel
               Jacobian is rank-1: ``b_j = a_j + t_j d_j`` with a single
@@ -454,11 +296,12 @@ def build_power_map_kernel(
               analytic spec-residual and per-segment length gradients
               instead;
             * min/max soft-logic combines differentiate through their
-              arg-extremum only -- running (value, grad) selects, exactly
-              the select structure XLA's reverse mode emits.
+              arg-extremum only -- running (value, grad) selects with
+              XLA's balanced-eq tie rule, exactly the select structure
+              XLA's reverse mode emits.
             """
 
-            def contrib_vag(px, py):
+            def contrib(px, py):
                 zeros = jnp.zeros_like(px)
 
                 # --- forward scalar mirror images (host math)
@@ -466,14 +309,16 @@ def build_power_map_kernel(
                 ix, iy = txx, txy
                 for i in cand:
                     if kinds_c[i] == KIND_VERTEX:
+                        # Zero-length segment: mirror is identity.
                         images.append((ix, iy))
                     else:
                         ix, iy = mirror_scalar(ix, iy, i)
                         images.append((ix, iy))
 
-                # --- backward bounce recursion with rank-1 Jacobians.
-                # The downstream point q starts at the pixel (dq/dp = I);
-                # after a wall bounce it lives on that wall's line
+                # --- backward bounce recursion (vertex pinning); with
+                # want_grad, rank-1 Jacobians ride along: the downstream
+                # point q starts at the pixel (dq/dp = I); after a wall
+                # bounce it lives on that wall's line
                 # (dq/dp = d_j (x) grad t_j); after a vertex it is constant.
                 ptx, pty = px, py
                 state = "P"  # "P" pixel | "R" rank-1 on prev wall | "Z" const
@@ -492,11 +337,7 @@ def build_power_map_kernel(
                         bstate[j] = ("Z", None, None)
                         continue
                     nx, ny = wall_normal(i)
-                    dxw, dyw = bxw - axw, byw - ayw
-                    dd2 = dxw * dxw + dyw * dyw
-                    dd2 = dd2 if dd2 != 0.0 else 1.0
                     imx, imy = images[j]
-                    c_im = (axw - imx) * nx + (ayw - imy) * ny  # host scalar
                     ux, uy = ptx - imx, pty - imy
                     un = ux * nx + uy * ny
                     un_zero = un == 0.0
@@ -505,25 +346,36 @@ def build_power_map_kernel(
                     s = jnp.where(un_zero, 0.0, vn / safe_un)
                     bx_t = ptx + s * ux
                     by_t = pty + s * uy
-                    # dt_j/dq: t_j = ((b - a).d)/|d|^2 with
-                    # db/dq = (c/un) (I - u n^T / un); at un == 0 the
-                    # where-guard selects b = q, i.e. db/dq = I -- match
-                    # XLA's select gradient exactly.
-                    f = jnp.where(un_zero, 0.0, c_im / safe_un)
-                    g = jnp.where(un_zero, 0.0, (ux * dxw + uy * dyw) / safe_un)
-                    vx = jnp.where(un_zero, dxw / dd2, f * (dxw - g * nx) / dd2)
-                    vy = jnp.where(un_zero, dyw / dd2, f * (dyw - g * ny) / dd2)
-                    if state == "P":
-                        gtx, gty = vx, vy
-                    elif state == "R":
-                        k = vx * prev_d[0] + vy * prev_d[1]
-                        gtx, gty = k * prev_gt[0], k * prev_gt[1]
-                    else:
-                        gtx, gty = zeros, zeros
+                    if want_grad:
+                        # dt_j/dq: t_j = ((b - a).d)/|d|^2 with
+                        # db/dq = (c/un) (I - u n^T / un); at un == 0 the
+                        # where-guard selects b = q, i.e. db/dq = I --
+                        # match XLA's select gradient exactly.
+                        dxw, dyw = bxw - axw, byw - ayw
+                        dd2 = dxw * dxw + dyw * dyw
+                        dd2 = dd2 if dd2 != 0.0 else 1.0
+                        c_im = (axw - imx) * nx + (ayw - imy) * ny  # host
+                        f = jnp.where(un_zero, 0.0, c_im / safe_un)
+                        g = jnp.where(
+                            un_zero, 0.0, (ux * dxw + uy * dyw) / safe_un
+                        )
+                        vx = jnp.where(
+                            un_zero, dxw / dd2, f * (dxw - g * nx) / dd2
+                        )
+                        vy = jnp.where(
+                            un_zero, dyw / dd2, f * (dyw - g * ny) / dd2
+                        )
+                        if state == "P":
+                            gtx, gty = vx, vy
+                        elif state == "R":
+                            k = vx * prev_d[0] + vy * prev_d[1]
+                            gtx, gty = k * prev_gt[0], k * prev_gt[1]
+                        else:
+                            gtx, gty = zeros, zeros
+                        state, prev_d, prev_gt = "R", (dxw, dyw), (gtx, gty)
+                        bstate[j] = ("R", (dxw, dyw), (gtx, gty))
                     ptx, pty = bx_t, by_t
-                    state, prev_d, prev_gt = "R", (dxw, dyw), (gtx, gty)
                     bounce[j] = (ptx, pty)
-                    bstate[j] = ("R", (dxw, dyw), (gtx, gty))
 
                 path_x = [jnp.full_like(px, txx)] + [b[0] for b in bounce] + [px]
                 path_y = [jnp.full_like(py, txy)] + [b[1] for b in bounce] + [py]
@@ -541,12 +393,12 @@ def build_power_map_kernel(
                     k = wx * d_s[0] + wy * d_s[1]
                     return k * gt_s[0], k * gt_s[1]
 
-                # --- residual loss: forward identical; gradient for RIS
-                # terms, and for WALL specular terms whose image chain is
-                # BROKEN (a vertex precedes the bounce, so the chain's
-                # virtual source differs from the actual upstream point
-                # and the reflection-law identity "residual == 0 in the
-                # pixel" no longer holds). Unbroken wall chains keep the
+                # --- residual loss: gradient (want_grad) for RIS terms,
+                # and for WALL specular terms whose image chain is BROKEN
+                # (a vertex precedes the bounce, so the chain's virtual
+                # source differs from the actual upstream point and the
+                # reflection-law identity "residual == 0 in the pixel"
+                # no longer holds). Unbroken wall chains keep the
                 # zero-gradient shortcut (XLA's value there is float
                 # noise ~1e-14, inside the equivalence tolerance).
                 seen_vertex = False
@@ -571,12 +423,14 @@ def build_power_map_kernel(
                     nx, ny = wall_normal(i)
                     rx_, ry_ = _normalize(cxc - bxc, cyc - byc)
                     if kinds_c[i] == KIND_RIS:
-                        has_loss_grad = True
                         sin_a = (-rx_) * ny - (-ry_) * nx
                         cos_a = (-rx_) * nx + (-ry_) * ny
                         sin_p = jnp.sin(phi_ref[i])
                         cos_p = jnp.cos(phi_ref[i])
                         loss = loss + (sin_a - sin_p) ** 2 + (cos_a - cos_p) ** 2
+                        if not want_grad:
+                            continue
+                        has_loss_grad = True
                         # d term / d rhat, then through the normalize
                         # Jacobian (I - rhat rhat^T)/|v|, then d v = d c - d b.
                         wx = 2.0 * (sin_a - sin_p) * (-ny) + 2.0 * (cos_a - cos_p) * (-nx)
@@ -600,7 +454,7 @@ def build_power_map_kernel(
                         refx, refy = ivx - 2.0 * d * nx, ivy - 2.0 * d * ny
                         ex, ey = rx_ - refx, ry_ - refy
                         loss = loss + ex * ex + ey * ey
-                        if broken[j]:
+                        if want_grad and broken[j]:
                             # Full spec gradient (see the looped twin):
                             # d spec = 2e.drv - 2eR.div with both
                             # normalize Jacobians.
@@ -637,7 +491,7 @@ def build_power_map_kernel(
                             gloss_x = gloss_x + cgx - bgx + agx
                             gloss_y = gloss_y + cgy - bgy + agy
 
-                # --- on_objects with running-min gradient
+                # --- on_objects (running-min gradient with want_grad)
                 if soft_mode:
                     on = jnp.ones_like(px)
                     gon_x, gon_y = zeros, zeros
@@ -656,22 +510,27 @@ def build_power_map_kernel(
                         c1 = _soft(t, alpha, sigmoid)
                         c2 = _soft(1.0 - t, alpha, sigmoid)
                         contains = jnp.minimum(c1, c2)
-                        # dt/dp = grad t_j exactly (this t IS the bounce's
-                        # along-wall coordinate).
-                        _, _, gt_j = bstate[j]
-                        dc = _min_grad_sel(
-                            c1,
-                            c2,
-                            _soft_grad(t, alpha, sigmoid),
-                            -_soft_grad(1.0 - t, alpha, sigmoid),
-                        )
-                        gon_x = _min_grad_sel(on, contains, gon_x, dc * gt_j[0])
-                        gon_y = _min_grad_sel(on, contains, gon_y, dc * gt_j[1])
+                        if want_grad:
+                            # dt/dp = grad t_j exactly (this t IS the
+                            # bounce's along-wall coordinate).
+                            _, _, gt_j = bstate[j]
+                            dc = _min_grad_sel(
+                                c1,
+                                c2,
+                                _soft_grad(t, alpha, sigmoid),
+                                -_soft_grad(1.0 - t, alpha, sigmoid),
+                            )
+                            gon_x = _min_grad_sel(
+                                on, contains, gon_x, dc * gt_j[0]
+                            )
+                            gon_y = _min_grad_sel(
+                                on, contains, gon_y, dc * gt_j[1]
+                            )
                         on = jnp.minimum(on, contains)
                     else:
                         on = on & ((t >= 0.0) & (t <= 1.0))
 
-                # --- blocked with running-max gradient
+                # --- blocked (running-max gradient with want_grad)
                 if soft_mode:
                     blk = jnp.zeros_like(px)
                     gblk_x, gblk_y = zeros, zeros
@@ -693,11 +552,11 @@ def build_power_map_kernel(
                         wa_y = ayw - patch * ty_
                         wb_x = bxw + patch * tx_
                         wb_y = byw + patch * ty_
-                        hit, dhc, dhd = _seg_intersect_vag(
-                            wa_x, wa_y, wb_x, wb_y, sax, say, sbx, sby,
-                            soft_mode, alpha,
-                        )
-                        if soft_mode:
+                        if soft_mode and want_grad:
+                            hit, dhc, dhd = _seg_intersect_vag(
+                                wa_x, wa_y, wb_x, wb_y, sax, say, sbx, sby,
+                                soft_mode, alpha,
+                            )
                             ghx0, ghy0 = contract(st0, dhc[0], dhc[1])
                             ghx1, ghy1 = contract(st1, dhd[0], dhd[1])
                             ghx, ghy = ghx0 + ghx1, ghy0 + ghy1
@@ -705,36 +564,46 @@ def build_power_map_kernel(
                             gblk_y = _max_grad_sel(blk, hit, gblk_y, ghy)
                             blk = jnp.maximum(blk, hit)
                         else:
-                            blk = blk | hit
+                            hit = _seg_intersect(
+                                wa_x, wa_y, wb_x, wb_y, sax, say, sbx, sby,
+                                soft_mode, alpha,
+                            )
+                            blk = (
+                                jnp.maximum(blk, hit)
+                                if soft_mode
+                                else (blk | hit)
+                            )
 
-                # --- validity with arg-min gradient selection
+                # --- validity (arg-min gradient selection with want_grad)
                 if soft_mode:
                     loss_ok = _soft(tol - loss, alpha, sigmoid)
                     m1 = jnp.minimum(on, 1.0 - blk)
-                    gm1_x = _min_grad_sel(on, 1.0 - blk, gon_x, -gblk_x)
-                    gm1_y = _min_grad_sel(on, 1.0 - blk, gon_y, -gblk_y)
                     valid_pre = jnp.minimum(m1, loss_ok)
-                    if has_loss_grad:
-                        slo = -_soft_grad(tol - loss, alpha, sigmoid)
-                        glo_x, glo_y = slo * gloss_x, slo * gloss_y
-                    else:
-                        glo_x, glo_y = zeros, zeros
-                    gvalid_x = _min_grad_sel(m1, loss_ok, gm1_x, glo_x)
-                    gvalid_y = _min_grad_sel(m1, loss_ok, gm1_y, glo_y)
-                    bad = jnp.isnan(valid_pre)
                     valid = jnp.nan_to_num(valid_pre)
-                    gvalid_x = jnp.where(bad, 0.0, gvalid_x)
-                    gvalid_y = jnp.where(bad, 0.0, gvalid_y)
+                    if want_grad:
+                        gm1_x = _min_grad_sel(on, 1.0 - blk, gon_x, -gblk_x)
+                        gm1_y = _min_grad_sel(on, 1.0 - blk, gon_y, -gblk_y)
+                        if has_loss_grad:
+                            slo = -_soft_grad(tol - loss, alpha, sigmoid)
+                            glo_x, glo_y = slo * gloss_x, slo * gloss_y
+                        else:
+                            glo_x, glo_y = zeros, zeros
+                        gvalid_x = _min_grad_sel(m1, loss_ok, gm1_x, glo_x)
+                        gvalid_y = _min_grad_sel(m1, loss_ok, gm1_y, glo_y)
+                        bad = jnp.isnan(valid_pre)
+                        gvalid_x = jnp.where(bad, 0.0, gvalid_x)
+                        gvalid_y = jnp.where(bad, 0.0, gvalid_y)
                 else:
                     valid = on & (~blk) & (loss < tol)
 
-                # --- path length + power; d r/dp = unit(final segment)
-                # by image-method stationarity for UNBROKEN chains; a
-                # vertex before any wall/RIS bounce breaks the identity,
-                # so those candidates take the full per-segment sum.
+                # --- path length + power; with want_grad,
+                # d r/dp = unit(final segment) by image-method
+                # stationarity for UNBROKEN chains; a vertex before any
+                # wall/RIS bounce breaks the identity, so those
+                # candidates take the full per-segment sum.
                 r = jnp.zeros_like(px)
-                if chain_broken:
-                    dr_x, dr_y = zeros, zeros
+                dr_x, dr_y = zeros, zeros
+                if want_grad and chain_broken:
                     for seg in range(order + 1):
                         dx_ = path_x[seg + 1] - path_x[seg] + eps
                         dy_ = path_y[seg + 1] - path_y[seg] + eps
@@ -754,17 +623,20 @@ def build_power_map_kernel(
                         dy_ = path_y[seg + 1] - path_y[seg] + eps
                         r = r + _norm2(dx_, dy_)
                         ldx, ldy = dx_, dy_
-                    ln = _norm2(ldx, ldy)
-                    safe_ln = jnp.where(ln == 0.0, 1.0, ln)
-                    dr_x = jnp.where(ln == 0.0, 0.0, ldx / safe_ln)
-                    dr_y = jnp.where(ln == 0.0, 0.0, ldy / safe_ln)
+                    if want_grad:
+                        ln = _norm2(ldx, ldy)
+                        safe_ln = jnp.where(ln == 0.0, 1.0, ln)
+                        dr_x = jnp.where(ln == 0.0, 0.0, ldx / safe_ln)
+                        dr_y = jnp.where(ln == 0.0, 0.0, ldy / safe_ln)
                 denom = height * height + r * r
                 power = (r_coef**order) / denom
+
+                val = valid * power
+                if not want_grad:
+                    return val
                 dp_scale = -power * (2.0 * r / denom)
                 dpow_x = dp_scale * dr_x
                 dpow_y = dp_scale * dr_y
-
-                val = valid * power
                 if soft_mode:
                     gx = gvalid_x * power + valid * dpow_x
                     gy = gvalid_y * power + valid * dpow_y
@@ -774,14 +646,19 @@ def build_power_map_kernel(
                     gy = vf * dpow_y
                 return val, gx, gy
 
-            return contrib_vag
+            return contrib
 
         contribs = []
         for order in sorted(groups):
             cands = groups[order]
             for c in range(cands.shape[0]):
-                make = make_contrib_vag if with_grad else make_contrib
-                contribs.append(make(order, [int(v) for v in cands[c]]))
+                contribs.append(
+                    make_contrib(
+                        order,
+                        [int(v) for v in cands[c]],
+                        want_grad=with_grad,
+                    )
+                )
 
         def body(px, py):
             acc = jnp.zeros_like(px)
@@ -957,173 +834,37 @@ def build_power_map_kernel_looped(
         else:
             read_patched = _read_patched
 
-        def make_cand_contrib(order, cand_ref, img_ref):
-            """Build ``contrib(c, px, py) -> valid * power`` for one
-            order group.
+        def make_cand_contrib(order, cand_ref, img_ref, want_grad=False):
+            """Build the per-candidate contribution for one order group.
 
-            A single candidate's contribution is straight-line in
-            ``px, py`` (no internal loops), so reverse mode through it
-            needs no residual stacking -- the property
-            ``pixel_body_vag`` exploits for in-kernel gradients.
+            ``contrib(c, px, py)`` returns ``valid * power``; with
+            ``want_grad=True`` it returns ``(valid*power, d/dpx, d/dpy)``
+            with HAND-DERIVED pixel partials folded into the same sweep
+            (rank-1 bounce Jacobians down the image recursion,
+            argmin/argmax gradient selects matching XLA's balanced-eq
+            min/max rule, FULL analytic spec-residual and per-segment
+            length gradients -- kinds are runtime values here, and the
+            image-method stationarity shortcuts break whenever a vertex
+            precedes a wall/RIS bounce, so the general formulas always
+            run; for unbroken chains the extra terms are the ~0
+            stationary ones XLA's AD also computes).  One forward
+            pipeline serves both modes, so value maps and
+            value_and_grad maps cannot desync.  A single candidate's
+            contribution is straight-line in ``px, py`` (no internal
+            loops), which is also what lets the legacy ``tangent_impl``
+            reverse/jvp schemes transpose without residual stacking.
             """
 
             def contrib(c, px, py):
-                    idx = [cand_ref[c * order + j] for j in range(order)]
-                    wall_vals = [read_wall(i) for i in idx]
-                    kinds = [kind_ref[i] for i in idx]
-                    normals = [read_normal(i) for i in idx]
-
-                    # Mirror-image chain of TX through the candidate's
-                    # walls: depends only on (TX, candidate), so it is
-                    # precomputed by XLA in run() and read from SMEM
-                    # (the dependent scalar sweep stalled the scalar
-                    # unit once per candidate per tile).
-                    images = [
-                        (
-                            img_ref[(c * order + j) * 2],
-                            img_ref[(c * order + j) * 2 + 1],
-                        )
-                        for j in range(order)
-                    ]
-
-                    # Backward elementwise intersections, vertex pinning.
-                    ptx, pty = px, py
-                    bounce = [None] * order
-                    for j in range(order - 1, -1, -1):
-                        axw, ayw, _, _ = wall_vals[j]
-                        nx, ny = normals[j]
-                        imx, imy = images[j]
-                        ux, uy = ptx - imx, pty - imy
-                        un = ux * nx + uy * ny
-                        vn = (axw - ptx) * nx + (ayw - pty) * ny
-                        un_zero = un == 0.0
-                        safe_un = jnp.where(un_zero, 1.0, un)
-                        s = jnp.where(un_zero, 0.0, vn / safe_un)
-                        ptx = ptx + s * ux
-                        pty = pty + s * uy
-                        is_vertex = kinds[j] == KIND_VERTEX
-                        ptx = jnp.where(is_vertex, axw, ptx)
-                        pty = jnp.where(is_vertex, ayw, pty)
-                        bounce[j] = (ptx, pty)
-
-                    path_x = [jnp.full_like(px, txx)] + [b[0] for b in bounce] + [px]
-                    path_y = [jnp.full_like(py, txy)] + [b[1] for b in bounce] + [py]
-
-                    # Residuals (kind-selected at runtime).
-                    loss = jnp.zeros_like(px)
-                    for j in range(order):
-                        nx, ny = normals[j]
-                        axc, ayc = path_x[j], path_y[j]
-                        bxc, byc = path_x[j + 1], path_y[j + 1]
-                        cxc, cyc = path_x[j + 2], path_y[j + 2]
-                        rx_, ry_ = _normalize(cxc - bxc, cyc - byc)
-                        ivx, ivy = _normalize(bxc - axc, byc - ayc)
-                        d = ivx * nx + ivy * ny
-                        refx, refy = ivx - 2.0 * d * nx, ivy - 2.0 * d * ny
-                        ex, ey = rx_ - refx, ry_ - refy
-                        spec = ex * ex + ey * ey
-                        sin_a = (-rx_) * ny - (-ry_) * nx
-                        cos_a = (-rx_) * nx + (-ry_) * ny
-                        sin_p = jnp.sin(phi_ref[idx[j]])
-                        cos_p = jnp.cos(phi_ref[idx[j]])
-                        ris = (sin_a - sin_p) ** 2 + (cos_a - cos_p) ** 2
-                        res = jnp.where(kinds[j] == KIND_RIS, ris, spec)
-                        res = jnp.where(kinds[j] == KIND_VERTEX, 0.0, res)
-                        loss = loss + res
-
-                    # on_objects.
-                    if soft_mode:
-                        on = jnp.ones_like(px)
-                    else:
-                        on = jnp.ones_like(px, dtype=jnp.bool_)
-                    for j in range(order):
-                        axw, ayw, bxw, byw = wall_vals[j]
-                        dxw, dyw = bxw - axw, byw - ayw
-                        sq = dxw * dxw + dyw * dyw
-                        sq = jnp.where(sq == 0.0, 1.0, sq)
-                        bxc, byc = path_x[j + 1], path_y[j + 1]
-                        t = ((bxc - axw) * dxw + (byc - ayw) * dyw) / sq
-                        if soft_mode:
-                            contains = jnp.minimum(
-                                _soft(t, alpha, sigmoid),
-                                _soft(1.0 - t, alpha, sigmoid),
-                            )
-                            contains = jnp.where(
-                                kinds[j] == KIND_VERTEX, 1.0, contains
-                            )
-                            on = jnp.minimum(on, contains)
-                        else:
-                            contains = (t >= 0.0) & (t <= 1.0)
-                            contains = contains | (kinds[j] == KIND_VERTEX)
-                            on = on & contains
-
-                    # Blocked: every segment vs every wall, adjacency masked
-                    # at runtime (vertex walls are degenerate => never hit).
-                    if soft_mode:
-                        blk = jnp.zeros_like(px)
-                    else:
-                        blk = jnp.zeros_like(px, dtype=jnp.bool_)
-                    minus_one = jnp.int32(-1)
-                    seg_idx = [minus_one] + [i for i in idx] + [minus_one]
-                    for s in range(order + 1):
-                        for w in range(W):
-                            wa_x, wa_y, wb_x, wb_y = read_patched(w)
-                            hit = _seg_intersect(
-                                wa_x,
-                                wa_y,
-                                wb_x,
-                                wb_y,
-                                path_x[s], path_y[s],
-                                path_x[s + 1], path_y[s + 1],
-                                soft_mode,
-                                alpha,
-                            )
-                            ignore = (seg_idx[s] == w) | (seg_idx[s + 1] == w)
-                            if soft_mode:
-                                hit = jnp.where(ignore, 0.0, hit)
-                                blk = jnp.maximum(blk, hit)
-                            else:
-                                hit = jnp.where(ignore, False, hit)
-                                blk = blk | hit
-
-                    if soft_mode:
-                        loss_ok = _soft(tol - loss, alpha, sigmoid)
-                        valid = jnp.minimum(jnp.minimum(on, 1.0 - blk), loss_ok)
-                        valid = jnp.nan_to_num(valid)
-                    else:
-                        valid = on & (~blk) & (loss < tol)
-
-                    r = jnp.zeros_like(px)
-                    for s in range(order + 1):
-                        dx_ = path_x[s + 1] - path_x[s] + eps
-                        dy_ = path_y[s + 1] - path_y[s] + eps
-                        r = r + _norm2(dx_, dy_)
-                    power = (r_coef**order) / (height * height + r * r)
-                    return valid * power
-
-            return contrib
-
-        def make_cand_contrib_vag(order, cand_ref, img_ref):
-            """``contrib_vag(c, px, py) -> (valid*power, d/dpx, d/dpy)``:
-            the looped twin of the unrolled kernel's
-            :func:`make_contrib_vag` — forward pass identical to
-            :func:`make_cand_contrib` plus HAND-DERIVED pixel partials
-            folded into the same sweep (rank-1 bounce Jacobians down the
-            image recursion, final-segment unit vector for the length
-            term, argmin/argmax gradient selects matching XLA's min/max
-            select structure).  Object kinds are runtime values here, so
-            the trace-time branches of the unrolled version become
-            ``jnp.where`` selects: a vertex bounce is the rank-1 state
-            with a ZERO ``grad t`` vector (its contraction vanishes
-            identically), and only RIS residual terms carry a loss
-            gradient (wall specular residuals are identically zero in
-            the pixel by the reflection-law identity)."""
-
-            def contrib_vag(c, px, py):
                 idx = [cand_ref[c * order + j] for j in range(order)]
                 wall_vals = [read_wall(i) for i in idx]
                 kinds = [kind_ref[i] for i in idx]
                 normals = [read_normal(i) for i in idx]
+                # Mirror-image chain of TX through the candidate's
+                # walls: depends only on (TX, candidate), so it is
+                # precomputed by XLA in run() and read from SMEM
+                # (the dependent scalar sweep stalled the scalar
+                # unit once per candidate per tile).
                 images = [
                     (
                         img_ref[(c * order + j) * 2],
@@ -1133,10 +874,11 @@ def build_power_map_kernel_looped(
                 ]
                 zeros = jnp.zeros_like(px)
 
-                # Backward bounce recursion with rank-1 Jacobians: the
-                # downstream point q starts at the pixel (dq/dp = I);
-                # after a bounce it is d_j (x) grad t_j (zero grad for a
-                # vertex: the point is pinned).
+                # Backward bounce recursion (vertex pinning); with
+                # want_grad, rank-1 Jacobians ride along: the downstream
+                # point q starts at the pixel (dq/dp = I); after a
+                # bounce it is d_j (x) grad t_j (zero grad for a vertex:
+                # the point is pinned).
                 ptx, pty = px, py
                 state_pixel = True  # trace-time: j == order-1 sees the pixel
                 prev_d = None
@@ -1159,31 +901,38 @@ def build_power_map_kernel_looped(
                     is_vertex = kinds[j] == KIND_VERTEX
                     new_ptx = jnp.where(is_vertex, axw, bx_t)
                     new_pty = jnp.where(is_vertex, ayw, by_t)
-                    # dt_j/dq (see the unrolled twin for the derivation);
-                    # at un == 0 the where-guard selects b = q, matching
-                    # XLA's select gradient.
-                    dxw, dyw = bxw - axw, byw - ayw
-                    dd2 = dxw * dxw + dyw * dyw
-                    dd2 = jnp.where(dd2 == 0.0, 1.0, dd2)
-                    c_im = (axw - imx) * nx + (ayw - imy) * ny
-                    f = jnp.where(un_zero, 0.0, c_im / safe_un)
-                    g = jnp.where(un_zero, 0.0, (ux * dxw + uy * dyw) / safe_un)
-                    vx = jnp.where(un_zero, dxw / dd2, f * (dxw - g * nx) / dd2)
-                    vy = jnp.where(un_zero, dyw / dd2, f * (dyw - g * ny) / dd2)
-                    if state_pixel:
-                        gtx, gty = vx, vy
-                    else:
-                        k = vx * prev_d[0] + vy * prev_d[1]
-                        gtx, gty = k * prev_gt[0], k * prev_gt[1]
-                    gtx = jnp.where(is_vertex, 0.0, gtx)
-                    gty = jnp.where(is_vertex, 0.0, gty)
+                    if want_grad:
+                        # dt_j/dq (see the unrolled twin for the
+                        # derivation); at un == 0 the where-guard selects
+                        # b = q, matching XLA's select gradient.
+                        dxw, dyw = bxw - axw, byw - ayw
+                        dd2 = dxw * dxw + dyw * dyw
+                        dd2 = jnp.where(dd2 == 0.0, 1.0, dd2)
+                        c_im = (axw - imx) * nx + (ayw - imy) * ny
+                        f = jnp.where(un_zero, 0.0, c_im / safe_un)
+                        g = jnp.where(
+                            un_zero, 0.0, (ux * dxw + uy * dyw) / safe_un
+                        )
+                        vx = jnp.where(
+                            un_zero, dxw / dd2, f * (dxw - g * nx) / dd2
+                        )
+                        vy = jnp.where(
+                            un_zero, dyw / dd2, f * (dyw - g * ny) / dd2
+                        )
+                        if state_pixel:
+                            gtx, gty = vx, vy
+                        else:
+                            k = vx * prev_d[0] + vy * prev_d[1]
+                            gtx, gty = k * prev_gt[0], k * prev_gt[1]
+                        gtx = jnp.where(is_vertex, 0.0, gtx)
+                        gty = jnp.where(is_vertex, 0.0, gty)
+                        state_pixel = False
+                        prev_d = (dxw, dyw)
+                        prev_gt = (gtx, gty)
+                        bdir[j] = (dxw, dyw)
+                        bgrad[j] = (gtx, gty)
                     ptx, pty = new_ptx, new_pty
-                    state_pixel = False
-                    prev_d = (dxw, dyw)
-                    prev_gt = (gtx, gty)
                     bounce[j] = (ptx, pty)
-                    bdir[j] = (dxw, dyw)
-                    bgrad[j] = (gtx, gty)
 
                 path_x = [jnp.full_like(px, txx)] + [b[0] for b in bounce] + [px]
                 path_y = [jnp.full_like(py, txy)] + [b[1] for b in bounce] + [py]
@@ -1199,16 +948,8 @@ def build_power_map_kernel_looped(
                     k = wx * d_s[0] + wy * d_s[1]
                     return k * gt_s[0], k * gt_s[1]
 
-                # Residuals: forward identical to make_cand_contrib;
-                # FULL analytic gradient per kind (runtime-selected).
-                # The specular gradient cannot be skipped here: the
-                # reflection-law identity (residual == 0 in the pixel)
-                # breaks whenever a VERTEX precedes the bounce -- the
-                # image chain's virtual source differs from the actual
-                # upstream point -- and kinds are runtime values in this
-                # kernel, so the general formula always runs (for
-                # unbroken chains its value is float noise, matching
-                # XLA's AD of the same expression).
+                # Residuals (kind-selected at runtime); with want_grad,
+                # FULL analytic gradient per kind.
                 loss = jnp.zeros_like(px)
                 gloss_x, gloss_y = zeros, zeros
                 for j in range(order):
@@ -1230,6 +971,8 @@ def build_power_map_kernel_looped(
                     res = jnp.where(kinds[j] == KIND_RIS, ris, spec)
                     res = jnp.where(kinds[j] == KIND_VERTEX, 0.0, res)
                     loss = loss + res
+                    if not want_grad:
+                        continue
                     # Normalize Jacobians: J = (I - uhat uhat^T)/|v| for
                     # the outgoing (rv, over vc = c-b) and incoming
                     # (iv, over vi = b-a) unit vectors.
@@ -1273,7 +1016,7 @@ def build_power_map_kernel_looped(
                     gloss_x = gloss_x + jnp.where(is_vtx, 0.0, tgx)
                     gloss_y = gloss_y + jnp.where(is_vtx, 0.0, tgy)
 
-                # on_objects with running-min gradient.
+                # on_objects (running-min gradient with want_grad).
                 if soft_mode:
                     on = jnp.ones_like(px)
                     gon_x, gon_y = zeros, zeros
@@ -1292,26 +1035,31 @@ def build_power_map_kernel_looped(
                         c2 = _soft(1.0 - t, alpha, sigmoid)
                         contains = jnp.minimum(c1, c2)
                         contains = jnp.where(is_vertex, 1.0, contains)
-                        # dt/dp IS the bounce's along-wall grad t_j.
-                        gt_j = bgrad[j]
-                        dc = _min_grad_sel(
-                            c1,
-                            c2,
-                            _soft_grad(t, alpha, sigmoid),
-                            -_soft_grad(1.0 - t, alpha, sigmoid),
-                        )
-                        dc = jnp.where(is_vertex, 0.0, dc)
-                        gon_x = _min_grad_sel(on, contains, gon_x, dc * gt_j[0])
-                        gon_y = _min_grad_sel(on, contains, gon_y, dc * gt_j[1])
+                        if want_grad:
+                            # dt/dp IS the bounce's along-wall grad t_j.
+                            gt_j = bgrad[j]
+                            dc = _min_grad_sel(
+                                c1,
+                                c2,
+                                _soft_grad(t, alpha, sigmoid),
+                                -_soft_grad(1.0 - t, alpha, sigmoid),
+                            )
+                            dc = jnp.where(is_vertex, 0.0, dc)
+                            gon_x = _min_grad_sel(
+                                on, contains, gon_x, dc * gt_j[0]
+                            )
+                            gon_y = _min_grad_sel(
+                                on, contains, gon_y, dc * gt_j[1]
+                            )
                         on = jnp.minimum(on, contains)
                     else:
                         contains = (t >= 0.0) & (t <= 1.0)
                         contains = contains | is_vertex
                         on = on & contains
 
-                # Blocked with running-max gradient; adjacency masked at
-                # runtime (masked hits carry zero gradient, matching the
-                # XLA where-select).
+                # Blocked (running-max gradient with want_grad);
+                # adjacency masked at runtime (masked hits carry zero
+                # gradient, matching the XLA where-select).
                 if soft_mode:
                     blk = jnp.zeros_like(px)
                     gblk_x, gblk_y = zeros, zeros
@@ -1323,7 +1071,7 @@ def build_power_map_kernel_looped(
                     for w in range(W):
                         wa_x, wa_y, wb_x, wb_y = read_patched(w)
                         ignore = (seg_idx[s] == w) | (seg_idx[s + 1] == w)
-                        if soft_mode:
+                        if soft_mode and want_grad:
                             hit, dhc, dhd = _seg_intersect_vag(
                                 wa_x, wa_y, wb_x, wb_y,
                                 path_x[s], path_y[s],
@@ -1345,35 +1093,37 @@ def build_power_map_kernel_looped(
                                 path_x[s + 1], path_y[s + 1],
                                 soft_mode, alpha,
                             )
-                            hit = jnp.where(ignore, False, hit)
-                            blk = blk | hit
+                            if soft_mode:
+                                hit = jnp.where(ignore, 0.0, hit)
+                                blk = jnp.maximum(blk, hit)
+                            else:
+                                hit = jnp.where(ignore, False, hit)
+                                blk = blk | hit
 
-                # Validity with arg-min gradient selection.
+                # Validity (arg-min gradient selection with want_grad).
                 if soft_mode:
                     loss_ok = _soft(tol - loss, alpha, sigmoid)
                     m1 = jnp.minimum(on, 1.0 - blk)
-                    gm1_x = _min_grad_sel(on, 1.0 - blk, gon_x, -gblk_x)
-                    gm1_y = _min_grad_sel(on, 1.0 - blk, gon_y, -gblk_y)
                     valid_pre = jnp.minimum(m1, loss_ok)
-                    slo = -_soft_grad(tol - loss, alpha, sigmoid)
-                    glo_x, glo_y = slo * gloss_x, slo * gloss_y
-                    gvalid_x = _min_grad_sel(m1, loss_ok, gm1_x, glo_x)
-                    gvalid_y = _min_grad_sel(m1, loss_ok, gm1_y, glo_y)
-                    bad = jnp.isnan(valid_pre)
                     valid = jnp.nan_to_num(valid_pre)
-                    gvalid_x = jnp.where(bad, 0.0, gvalid_x)
-                    gvalid_y = jnp.where(bad, 0.0, gvalid_y)
+                    if want_grad:
+                        gm1_x = _min_grad_sel(on, 1.0 - blk, gon_x, -gblk_x)
+                        gm1_y = _min_grad_sel(on, 1.0 - blk, gon_y, -gblk_y)
+                        slo = -_soft_grad(tol - loss, alpha, sigmoid)
+                        glo_x, glo_y = slo * gloss_x, slo * gloss_y
+                        gvalid_x = _min_grad_sel(m1, loss_ok, gm1_x, glo_x)
+                        gvalid_y = _min_grad_sel(m1, loss_ok, gm1_y, glo_y)
+                        bad = jnp.isnan(valid_pre)
+                        gvalid_x = jnp.where(bad, 0.0, gvalid_x)
+                        gvalid_y = jnp.where(bad, 0.0, gvalid_y)
                 else:
                     valid = on & (~blk) & (loss < tol)
 
-                # Path length + power; FULL dr/dp (every segment's unit
-                # vector contracted against both endpoint Jacobians).
-                # The unit(final segment) shortcut relies on the
-                # image-method stationarity identity, which breaks when
-                # a vertex precedes a wall/RIS bounce -- kinds are
-                # runtime here, so the general sum always runs (the
-                # stationary terms it adds are ~0 for unbroken chains,
-                # exactly like XLA's AD of the same expression).
+                # Path length + power; with want_grad, FULL dr/dp (every
+                # segment's unit vector contracted against both endpoint
+                # Jacobians -- the unit(final segment) shortcut breaks
+                # when a vertex precedes a wall/RIS bounce, and kinds are
+                # runtime here).
                 r = jnp.zeros_like(px)
                 dr_x, dr_y = zeros, zeros
                 for s in range(order + 1):
@@ -1381,20 +1131,23 @@ def build_power_map_kernel_looped(
                     dy_ = path_y[s + 1] - path_y[s] + eps
                     seg = _norm2(dx_, dy_)
                     r = r + seg
-                    safe_seg = jnp.where(seg == 0.0, 1.0, seg)
-                    ux_ = jnp.where(seg == 0.0, 0.0, dx_ / safe_seg)
-                    uy_ = jnp.where(seg == 0.0, 0.0, dy_ / safe_seg)
-                    hgx, hgy = contract(s + 1, ux_, uy_)
-                    lgx, lgy = contract(s, ux_, uy_)
-                    dr_x = dr_x + hgx - lgx
-                    dr_y = dr_y + hgy - lgy
+                    if want_grad:
+                        safe_seg = jnp.where(seg == 0.0, 1.0, seg)
+                        ux_ = jnp.where(seg == 0.0, 0.0, dx_ / safe_seg)
+                        uy_ = jnp.where(seg == 0.0, 0.0, dy_ / safe_seg)
+                        hgx, hgy = contract(s + 1, ux_, uy_)
+                        lgx, lgy = contract(s, ux_, uy_)
+                        dr_x = dr_x + hgx - lgx
+                        dr_y = dr_y + hgy - lgy
                 denom = height * height + r * r
                 power = (r_coef**order) / denom
+
+                val = valid * power
+                if not want_grad:
+                    return val
                 dp_scale = -power * (2.0 * r / denom)
                 dpow_x = dp_scale * dr_x
                 dpow_y = dp_scale * dr_y
-
-                val = valid * power
                 if soft_mode:
                     gx = gvalid_x * power + valid * dpow_x
                     gy = gvalid_y * power + valid * dpow_y
@@ -1404,7 +1157,7 @@ def build_power_map_kernel_looped(
                     gy = vf * dpow_y
                 return val, gx, gy
 
-            return contrib_vag
+            return contrib
 
         def los_contrib_vag(px, py):
             """LOS value + analytic pixel partials: the blocked test's
@@ -1535,8 +1288,9 @@ def build_power_map_kernel_looped(
 
         if with_grad and tangent_impl == "analytic":
             contribs_vag = {
-                o: make_cand_contrib_vag(
-                    o, cand_ref_by_order[o], img_ref_by_order[o]
+                o: make_cand_contrib(
+                    o, cand_ref_by_order[o], img_ref_by_order[o],
+                    want_grad=True,
                 )
                 for o in cand_orders
             }
@@ -1544,7 +1298,7 @@ def build_power_map_kernel_looped(
         def pixel_body_vag_analytic(px, py):
             """Value plus both pixel partials, hand-derived (default).
 
-            The analytic sweep (see :func:`make_cand_contrib_vag`) costs
+            The analytic sweep (``make_cand_contrib(want_grad=True)``) costs
             ~2x the forward stream with NO residual live-set and no AD
             program at all, so it runs inside the ``fori_loop`` body
             directly.
@@ -2137,7 +1891,7 @@ def get_fused_run(
     # take the fori_loop kernel, whose program size is O(walls), not
     # O(candidates).  Compiled kernels are LRU-cached per scene geometry.
     # value_and_grad unrolled folds HAND-DERIVED analytic pixel partials
-    # into the forward sweep (make_contrib_vag): no jax.vjp reverse
+    # into the forward sweep (make_contrib(want_grad=True)): no jax.vjp reverse
     # program, no residual live-set. (History: whole-body jvp tripled
     # the stream and blew Mosaic compiles past 9 min at 8 candidates;
     # per-candidate jax.vjp reverse was the round-2 scheme at ~3x the

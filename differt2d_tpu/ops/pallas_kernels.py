@@ -1159,8 +1159,9 @@ def build_power_map_kernel_looped(
 
             return contrib
 
-        def los_contrib_vag(px, py):
-            """LOS value + analytic pixel partials: the blocked test's
+        def los_contrib(px, py, want_grad=False):
+            """LOS contribution (no bounce, direct blocked test); with
+            ``want_grad``, analytic pixel partials: the blocked test's
             segment runs TX (constant) -> pixel (identity Jacobian), so
             only the d-endpoint partials of :func:`_seg_intersect_vag`
             contribute; the loss gate is a constant."""
@@ -1174,7 +1175,7 @@ def build_power_map_kernel_looped(
                 blk = jnp.zeros_like(px, dtype=jnp.bool_)
             for w in range(W):
                 wa_x, wa_y, wb_x, wb_y = read_patched(w)
-                if soft_mode:
+                if soft_mode and want_grad:
                     hit, _dhc, dhd = _seg_intersect_vag(
                         wa_x, wa_y, wb_x, wb_y,
                         txx_t, txy_t, px, py,
@@ -1189,31 +1190,33 @@ def build_power_map_kernel_looped(
                         txx_t, txy_t, px, py,
                         soft_mode, alpha,
                     )
-                    blk = blk | hit
+                    blk = jnp.maximum(blk, hit) if soft_mode else (blk | hit)
             if soft_mode:
                 loss_ok = _soft(tol, alpha, sigmoid)
                 valid_pre = jnp.minimum(1.0 - blk, loss_ok)
-                gvalid_x = _min_grad_sel(1.0 - blk, loss_ok, -gblk_x, 0.0)
-                gvalid_y = _min_grad_sel(1.0 - blk, loss_ok, -gblk_y, 0.0)
-                bad = jnp.isnan(valid_pre)
                 valid = jnp.nan_to_num(valid_pre)
-                gvalid_x = jnp.where(bad, 0.0, gvalid_x)
-                gvalid_y = jnp.where(bad, 0.0, gvalid_y)
+                if want_grad:
+                    gvalid_x = _min_grad_sel(1.0 - blk, loss_ok, -gblk_x, 0.0)
+                    gvalid_y = _min_grad_sel(1.0 - blk, loss_ok, -gblk_y, 0.0)
+                    bad = jnp.isnan(valid_pre)
+                    gvalid_x = jnp.where(bad, 0.0, gvalid_x)
+                    gvalid_y = jnp.where(bad, 0.0, gvalid_y)
             else:
                 valid = ~blk
             dx_ = px - txx + eps
             dy_ = py - txy + eps
             r = _norm2(dx_, dy_)
-            ln = r
-            safe_ln = jnp.where(ln == 0.0, 1.0, ln)
-            dr_x = jnp.where(ln == 0.0, 0.0, dx_ / safe_ln)
-            dr_y = jnp.where(ln == 0.0, 0.0, dy_ / safe_ln)
             denom = height * height + r * r
             power = 1.0 / denom
+            val = valid * power
+            if not want_grad:
+                return val
+            safe_ln = jnp.where(r == 0.0, 1.0, r)
+            dr_x = jnp.where(r == 0.0, 0.0, dx_ / safe_ln)
+            dr_y = jnp.where(r == 0.0, 0.0, dy_ / safe_ln)
             dp_scale = -power * (2.0 * r / denom)
             dpow_x = dp_scale * dr_x
             dpow_y = dp_scale * dr_y
-            val = valid * power
             if soft_mode:
                 gx = gvalid_x * power + valid * dpow_x
                 gy = gvalid_y * power + valid * dpow_y
@@ -1222,36 +1225,6 @@ def build_power_map_kernel_looped(
                 gx = vf * dpow_x
                 gy = vf * dpow_y
             return val, gx, gy
-
-        def los_contrib(px, py):
-                    # LOS: no bounce, direct blocked test.
-                    if soft_mode:
-                        blk = jnp.zeros_like(px)
-                    else:
-                        blk = jnp.zeros_like(px, dtype=jnp.bool_)
-                    for w in range(W):
-                        wa_x, wa_y, wb_x, wb_y = read_patched(w)
-                        hit = _seg_intersect(
-                            wa_x,
-                            wa_y,
-                            wb_x,
-                            wb_y,
-                            jnp.full_like(px, txx), jnp.full_like(py, txy),
-                            px, py,
-                            soft_mode,
-                            alpha,
-                        )
-                        blk = jnp.maximum(blk, hit) if soft_mode else (blk | hit)
-                    if soft_mode:
-                        loss_ok = _soft(tol, alpha, sigmoid)
-                        valid = jnp.minimum(1.0 - blk, loss_ok)
-                        valid = jnp.nan_to_num(valid)
-                    else:
-                        valid = ~blk
-                    dx_ = px - txx + eps
-                    dy_ = py - txy + eps
-                    r = _norm2(dx_, dy_)
-                    return valid * (1.0 / (height * height + r * r))
 
         contribs = {
             o: make_cand_contrib(o, cand_ref_by_order[o], img_ref_by_order[o])
@@ -1311,7 +1284,7 @@ def build_power_map_kernel_looped(
                 if count == 0:
                     continue
                 if order == 0:
-                    val, dx, dy = los_contrib_vag(px, py)
+                    val, dx, dy = los_contrib(px, py, want_grad=True)
                     v, gx, gy = v + val, gx + dx, gy + dy
                 else:
                     contrib = contribs_vag[order]

@@ -1,0 +1,186 @@
+"""Build and EXECUTE the documentation notebooks.
+
+The reference ships executable notebooks (e.g.
+``docs/source/notebooks/cost20120_helsinki_model.ipynb``); this script
+authors ours programmatically and runs them with ``nbclient`` so the
+committed artifacts carry real outputs. CPU-safe (forces the CPU
+platform inside the first cell); re-run after API changes:
+
+    python tools/gen_notebooks.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import nbformat as nbf
+from nbclient import NotebookClient
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+OUT_DIR = os.path.join(ROOT, "docs", "notebooks")
+
+
+def _nb(cells):
+    nb = nbf.v4.new_notebook()
+    nb.metadata["kernelspec"] = {
+        "name": "python3", "display_name": "Python 3", "language": "python",
+    }
+    nb.cells = cells
+    return nb
+
+
+def md(text):
+    return nbf.v4.new_markdown_cell(text)
+
+
+def code(src):
+    return nbf.v4.new_code_cell(src)
+
+
+def path_sampler_nb():
+    cells = [
+        md(
+            "# Learning which path candidates matter\n\n"
+            "A GFlowNet samples path candidates proportionally to their\n"
+            "validity instead of enumerating all `W·(W−1)^(order−1)` of\n"
+            "them — the TPU-native analog of the reference's COST20120\n"
+            "Helsinki notebook (DiffeRT2d\n"
+            "`docs/source/notebooks/cost20120_helsinki_model.ipynb`),\n"
+            "run here on the vendored OSM-style city extract (23\n"
+            "buildings / 136 oblique walls).\n\n"
+            "This notebook executes on CPU in a few minutes; on a TPU\n"
+            "chip the same code trains with much larger batches (the\n"
+            "reward evaluation is the batched tracer)."
+        ),
+        code(
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')  # notebook runs "
+            "anywhere; drop for TPU\n"
+            "import jax.numpy as jnp\n"
+            "import numpy as np\n"
+            "import matplotlib.pyplot as plt\n\n"
+            "from differt2d_tpu import tracer\n"
+            "from differt2d_tpu.scene import Scene\n\n"
+            "scene = Scene.city_extract_scene()\n"
+            "# The geojson corner TX/RX see zero valid low-order paths\n"
+            "# across this dense extract; use a street-corridor pair.\n"
+            "tx = jnp.array([0.667, 0.635])\n"
+            "rx = jnp.array([0.670, 0.400])\n"
+            "arrays = tracer.scene_arrays(scene)\n"
+            "print(f'{arrays.num_objects} walls')"
+        ),
+        md(
+            "## The ground truth: which candidates are valid?\n\n"
+            "`trace_paths` runs the batched image solver + validity test\n"
+            "over every order-1 candidate at once."
+        ),
+        code(
+            "out = tracer.trace_paths(scene, tx, rx, min_order=0, "
+            "max_order=1, approx=False)\n"
+            "v1 = np.asarray(out[1]['valid'])\n"
+            "print(f'order-1 candidates: {v1.size}, valid: {int(v1.sum())}'"
+            ")\n"
+            "print('valid wall indices:', np.nonzero(v1)[0].tolist())"
+        ),
+        md(
+            "## Train the sampler\n\n"
+            "`FlowNet` embeds the wall set (DeepSets-style sum pooling)\n"
+            "and emits per-wall flows; training minimizes the\n"
+            "trajectory-balance loss with reward = 1 iff the sampled\n"
+            "candidate yields a valid path (reference notebook, cells\n"
+            "18–24)."
+        ),
+        code(
+            "import optax\n"
+            "from differt2d_tpu.models import (\n"
+            "    FlowNet, make_reward_fn, make_train_step, "
+            "sample_trajectories,\n"
+            ")\n"
+            "from differt2d_tpu.models.gflownet import init_train_params\n\n"
+            "order, batch = 1, 64\n"
+            "model = FlowNet(num_walls=arrays.num_objects, max_order=order)\n"
+            "reward = make_reward_fn(scene, order=order)\n"
+            "params = init_train_params(model, jax.random.PRNGKey(0), "
+            "arrays.walls)\n"
+            "optimizer = optax.adam(1e-2)\n"
+            "opt_state = optimizer.init(params)\n"
+            "step = make_train_step(model, optimizer, reward, arrays.walls,"
+            " tx, rx,\n"
+            "                       order=order, batch=batch)\n\n"
+            "def valid_fraction(p, k):\n"
+            "    cands, _ = sample_trajectories(\n"
+            "        model, p['model'], k, arrays.walls, tx, rx, order, 512)\n"
+            "    return float(jnp.mean(reward(cands, tx, rx) == 1.0))\n\n"
+            "k_eval = jax.random.PRNGKey(7)\n"
+            "print(f'valid fraction before: "
+            "{valid_fraction(params, k_eval):.3f}')"
+        ),
+        code(
+            "k = jax.random.PRNGKey(1)\n"
+            "losses = []\n"
+            "for i in range(60):\n"
+            "    k, k_step = jax.random.split(k)\n"
+            "    params, opt_state, loss = step(params, opt_state, k_step)\n"
+            "    losses.append(float(loss))\n"
+            "print(f'final loss: {losses[-1]:.4f}')\n"
+            "print(f'valid fraction after:  "
+            "{valid_fraction(params, k_eval):.3f}')"
+        ),
+        md(
+            "## What did it learn?\n\n"
+            "The sampler concentrates on the handful of street-canyon\n"
+            "walls that actually reflect power between this TX/RX pair."
+        ),
+        code(
+            "cands, _ = sample_trajectories(\n"
+            "    model, params['model'], k_eval, arrays.walls, tx, rx, "
+            "order, 512)\n"
+            "walls_sampled, counts = np.unique(np.asarray(cands), "
+            "return_counts=True)\n"
+            "top = np.argsort(-counts)[:6]\n"
+            "for w, c in zip(walls_sampled[top], counts[top]):\n"
+            "    print(f'wall {int(w):3d}: sampled {int(c):4d}/512, "
+            "valid={bool(v1[int(w)])}')"
+        ),
+        code(
+            "fig, ax = plt.subplots(figsize=(6, 6))\n"
+            "scene.plot(ax)\n"
+            "ax.plot(*tx, 'r^', markersize=10, label='TX')\n"
+            "ax.plot(*rx, 'bv', markersize=10, label='RX')\n"
+            "for w in walls_sampled[top][:4]:\n"
+            "    seg = np.asarray(arrays.walls)[int(w)]\n"
+            "    ax.plot(seg[:, 0], seg[:, 1], 'g-', linewidth=3, alpha=0.7)\n"
+            "ax.legend()\n"
+            "ax.set_title('learned reflector walls (green)')\n"
+            "fig.tight_layout()\n"
+            "fig"
+        ),
+        md(
+            "On TPU, the identical code (without the CPU override) scales\n"
+            "batch and order; power maps over the trained-on scene ride\n"
+            "the fused Pallas kernels (`docs/performance.md`), and the\n"
+            "candidate axis shards over a device mesh for larger scenes\n"
+            "(`differt2d_tpu.parallel.power_map_cand_sharded`)."
+        ),
+    ]
+    return _nb(cells)
+
+
+def main():
+    os.makedirs(OUT_DIR, exist_ok=True)
+    for name, build in [("path_sampler.ipynb", path_sampler_nb)]:
+        nb = build()
+        client = NotebookClient(
+            nb, timeout=900, kernel_name="python3",
+            resources={"metadata": {"path": ROOT}},
+        )
+        client.execute()
+        out_path = os.path.join(OUT_DIR, name)
+        with open(out_path, "w") as fp:
+            nbf.write(nb, fp)
+        print(f"executed + wrote {out_path}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

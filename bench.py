@@ -155,7 +155,15 @@ def chained_step_time(step_once, k=10, reps=2):
         float(v)
         return time.perf_counter() - t0
 
-    float(step_once())  # warm
+    # Warm TWICE: the first step can retrace the jitted step function
+    # when the carried parameters change weak-typedness after one update
+    # (e.g. a weakly-typed ``jnp.array(0.5)`` initial value becomes a
+    # strongly-typed f32 after ``x + updates``), so the recompile must
+    # land before the timed windows, not inside the first one (measured:
+    # a 2.6-4 s recompile inside run(1) flipped cfg5's recorded
+    # per-step time by 1000x in round 3).
+    float(step_once())
+    float(step_once())
     return _paired_slope(run, k, reps)
 
 
@@ -679,7 +687,9 @@ def full_config_sweep() -> dict:
         updates, state = ris_opt.update(g, state)
         return phi + updates, state, v
 
-    phi = jnp.array(0.5)
+    # Strongly-typed init: a weak jnp.array(0.5) would retrace the
+    # jitted step after the first update (weak -> strong promotion).
+    phi = jnp.array(0.5, dtype=jnp.float32)
     ris_state = ris_opt.init(phi)
 
     def ris_step_fn():
@@ -697,7 +707,7 @@ def full_config_sweep() -> dict:
         updates, state = ris_opt.update(g, state)
         return phi + updates, state, v
 
-    phi_r = jnp.array(0.5)
+    phi_r = jnp.array(0.5, dtype=jnp.float32)
     state_r = ris_opt.init(phi_r)
 
     def ris_step_rev_fn():

@@ -23,6 +23,7 @@ formulas and guards, f32); equivalence is tested in
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Optional
 
@@ -736,6 +737,106 @@ def _slice_outputs(out, padded: int, P: int, with_grad: bool):
     return val, jnp.stack([dx, dy], axis=-1)
 
 
+def beam_keep_tables(
+    walls32,
+    normals32,
+    kind,
+    groups: dict[int, np.ndarray],
+    cand_orders,
+    last_imgs: dict,
+    x0, x1, y0, y1,
+    *,
+    approx: bool,
+    alpha,
+):
+    """Per-(pixel tile, candidate) conservative keep mask for tile-beam
+    candidate culling.
+
+    A candidate's contribution to a pixel is exactly zero whenever its
+    LAST bounce's wall parameter ``t`` sits strictly in the saturation
+    region of the ``contains`` factor: under hard logic the factor is
+    the boolean ``0 <= t <= 1``; under soft logic with ``hard_sigmoid``
+    (``relu6(alpha t + 3)/6``) it is exactly 0 for ``t <= -3/alpha`` and
+    the running soft-AND ``min`` then pins ``valid`` (and, because
+    ``hard_sigmoid``'s derivative is identically zero strictly inside
+    saturation, BOTH analytic pixel partials) to exact zeros -- so
+    skipping the candidate is bit-identical to accumulating it.  (Plain
+    ``sigmoid`` never reaches exact zero; culling must stay off there.)
+
+    The kernel computes the last bounce from the TX mirror image ``I``
+    (constant per candidate) as the intersection of the line ``I -> p``
+    with the wall line ``A + t (B - A)``; eliminating the intermediate
+    point gives ``t = N(p) / D(p)`` with both ``N`` and ``D`` affine in
+    the pixel ``p``:
+
+        U(p) = (p - I) . n        (n = unit wall normal)
+        t    = [k1 * U(p) + c * (p - I) . d] / (|d|^2 * U(p))
+        k1   = (I - A) . d,   c = (A - I) . n,   d = B - A
+
+    Affine interval arithmetic over the tile's bounding box bounds
+    ``N`` and ``D`` exactly; when ``D`` is sign-definite the quotient
+    hull bounds ``t`` conservatively.  The interval is widened by an
+    absolute + relative pad so f32 rounding inside the kernel cannot
+    move a pixel across the saturation threshold (the pad only costs a
+    sliver of culling efficiency near beam edges).  Tiles where ``D``
+    straddles zero, and candidates whose last bounce is a Vertex
+    (``contains`` is identically 1 there, reference
+    ``geometry.py:353-431``), are always kept.
+
+    :return: ``{order: keep[T, C_order] bool}`` for each entry of
+        ``cand_orders``.
+    """
+    kind_i32 = kind.astype(jnp.int32)
+    if approx:
+        band = 3.0 / jnp.maximum(alpha.astype(jnp.float32), 1e-6)
+    else:
+        band = jnp.float32(0.0)
+    lo_thr = -band
+    hi_thr = 1.0 + band
+
+    def _ival(F0, Fx, Fy):
+        xa = Fx[None, :] * x0[:, None]
+        xb = Fx[None, :] * x1[:, None]
+        ya = Fy[None, :] * y0[:, None]
+        yb = Fy[None, :] * y1[:, None]
+        flo = F0[None, :] + jnp.minimum(xa, xb) + jnp.minimum(ya, yb)
+        fhi = F0[None, :] + jnp.maximum(xa, xb) + jnp.maximum(ya, yb)
+        return flo, fhi
+
+    keep_by_order = {}
+    for o in cand_orders:
+        li = jnp.asarray(np.asarray(groups[o])[:, -1], dtype=jnp.int32)
+        img = last_imgs[o]  # [C, 2]
+        a_pt = walls32[li, 0, :]
+        b_pt = walls32[li, 1, :]
+        d = b_pt - a_pt
+        nv = normals32[li]
+        dd = jnp.sum(d * d, axis=-1)
+        c_c = jnp.sum((a_pt - img) * nv, axis=-1)
+        k1 = jnp.sum((img - a_pt) * d, axis=-1)
+        i_n = jnp.sum(img * nv, axis=-1)
+        i_d = jnp.sum(img * d, axis=-1)
+        n_x = k1 * nv[:, 0] + c_c * d[:, 0]
+        n_y = k1 * nv[:, 1] + c_c * d[:, 1]
+        n_0 = -k1 * i_n - c_c * i_d
+        d_x = dd * nv[:, 0]
+        d_y = dd * nv[:, 1]
+        d_0 = -dd * i_n
+        nlo, nhi = _ival(n_0, n_x, n_y)
+        dlo, dhi = _ival(d_0, d_x, d_y)
+        sign_def = (dlo > 0.0) | (dhi < 0.0)
+        sa = jnp.where(dlo == 0.0, 1.0, dlo)
+        sb = jnp.where(dhi == 0.0, 1.0, dhi)
+        q = jnp.stack([nlo / sa, nlo / sb, nhi / sa, nhi / sb])
+        tmin = jnp.min(q, axis=0)
+        tmax = jnp.max(q, axis=0)
+        pad = 0.05 + 0.01 * jnp.maximum(jnp.abs(tmin), jnp.abs(tmax))
+        overlap = (tmax + pad >= lo_thr) & (tmin - pad <= hi_thr)
+        vertex_last = (kind_i32[li] == KIND_VERTEX)[None, :]
+        keep_by_order[o] = (~sign_def) | overlap | vertex_last
+    return keep_by_order
+
+
 def build_power_map_kernel_looped(
     num_walls: int,
     groups: dict[int, np.ndarray],
@@ -748,6 +849,7 @@ def build_power_map_kernel_looped(
     tangent_impl: str = "analytic",
     cand_block: int = 1,
     hoist_walls: bool = False,
+    cull: bool = False,
 ):
     """Looped variant of :func:`build_power_map_kernel` for large
     candidate sets.
@@ -770,6 +872,12 @@ def build_power_map_kernel_looped(
     if mode not in ("value", "value_and_grad"):
         msg = f"unknown kernel mode {mode!r}"
         raise ValueError(msg)
+    if cull and approx and sigmoid:
+        msg = (
+            "tile-beam culling requires exact-zero saturation (hard"
+            " logic or hard_sigmoid); plain sigmoid tails never reach 0"
+        )
+        raise ValueError(msg)
     group_orders = sorted(groups)
     group_counts = [int(groups[o].shape[0]) for o in group_orders]
     # Candidate index arrays exist only for orders >= 1 (order 0 has one
@@ -780,8 +888,53 @@ def build_power_map_kernel_looped(
         k = len(cand_orders)
         cand_ref_by_order = dict(zip(cand_orders, rest[:k]))
         img_ref_by_order = dict(zip(cand_orders, rest[k : 2 * k]))
-        aux_ref, px_ref, py_ref = rest[2 * k : 2 * k + 3]
-        out_refs = rest[2 * k + 3 :]
+        if cull:
+            # Per-tile active-candidate lists (kept original indices
+            # first) + counts, interleaved per order group; see
+            # :func:`beam_keep_tables` for the exactness argument.
+            pc = rest[2 * k : 4 * k]
+            prm_ref_by_order = {
+                o: pc[2 * i] for i, o in enumerate(cand_orders)
+            }
+            cnt_ref_by_order = {
+                o: pc[2 * i + 1] for i, o in enumerate(cand_orders)
+            }
+            aux_ref, px_ref, py_ref = rest[4 * k : 4 * k + 3]
+            out_refs = rest[4 * k + 3 :]
+        else:
+            aux_ref, px_ref, py_ref = rest[2 * k : 2 * k + 3]
+            out_refs = rest[2 * k + 3 :]
+
+        def cand_loop(order, count, carry, step):
+            """``carry = step(c, carry)`` over this order group.
+
+            With culling, the trip count is the tile's active-candidate
+            count (an SMEM scalar) and ``c`` comes from the tile's
+            permutation list; skipped candidates contribute exact
+            zeros, so the accumulated carry is bit-identical to the
+            full loop.  Without culling, the static blocked loop
+            (``cand_block`` candidates per fori step).
+            """
+            if cull:
+                prm = prm_ref_by_order[order]
+                n_act = cnt_ref_by_order[order][0, 0, 0]
+
+                def body(i, a):
+                    return step(prm[0, 0, i], a)
+
+                return jax.lax.fori_loop(0, n_act, body, carry)
+            B = max(1, min(cand_block, count))
+            nb = count // B
+
+            def body(i, a):
+                for b in range(B):
+                    a = step(i * B + b, a)
+                return a
+
+            carry = jax.lax.fori_loop(0, nb, body, carry)
+            for c in range(nb * B, count):
+                carry = step(c, carry)
+            return carry
 
         txx = scal_ref[0]
         txy = scal_ref[1]
@@ -1240,23 +1393,18 @@ def build_power_map_kernel_looped(
                 if order == 0:
                     acc = acc + los_contrib(px, py)
                 else:
-                    contrib = contribs[order]
-                    # Process ``cand_block`` candidates per fori step:
-                    # unrolling across candidates gives the scheduler
-                    # independent scalar/vector chains to overlap (one
-                    # candidate's SMEM reads hide under another's vector
-                    # work).  Accumulation order is unchanged.
-                    B = max(1, min(cand_block, count))
-                    nb = count // B
-
-                    def body(i, a, _f=contrib, _B=B):
-                        for b in range(_B):
-                            a = a + _f(i * _B + b, px, py)
-                        return a
-
-                    acc = jax.lax.fori_loop(0, nb, body, acc)
-                    for c in range(nb * B, count):
-                        acc = acc + contrib(c, px, py)
+                    # Without culling, cand_loop processes ``cand_block``
+                    # candidates per fori step: unrolling across
+                    # candidates gives the scheduler independent
+                    # scalar/vector chains to overlap (one candidate's
+                    # SMEM reads hide under another's vector work).
+                    # Accumulation order is unchanged either way.
+                    acc = cand_loop(
+                        order,
+                        count,
+                        acc,
+                        lambda c, a, _f=contribs[order]: a + _f(c, px, py),
+                    )
             return acc
 
         if with_grad and tangent_impl == "analytic":
@@ -1287,23 +1435,13 @@ def build_power_map_kernel_looped(
                     val, dx, dy = los_contrib(px, py, want_grad=True)
                     v, gx, gy = v + val, gx + dx, gy + dy
                 else:
-                    contrib = contribs_vag[order]
-                    B = max(1, min(cand_block, count))
-                    nb = count // B
 
-                    def body(i, carry, _f=contrib, _B=B):
+                    def step(c, carry, _f=contribs_vag[order]):
                         vv, ax, ay = carry
-                        for b in range(_B):
-                            val, dx, dy = _f(i * _B + b, px, py)
-                            vv, ax, ay = vv + val, ax + dx, ay + dy
-                        return (vv, ax, ay)
+                        val, dx, dy = _f(c, px, py)
+                        return (vv + val, ax + dx, ay + dy)
 
-                    v, gx, gy = jax.lax.fori_loop(
-                        0, nb, body, (v, gx, gy)
-                    )
-                    for c in range(nb * B, count):
-                        val, dx, dy = contrib(c, px, py)
-                        v, gx, gy = v + val, gx + dx, gy + dy
+                    v, gx, gy = cand_loop(order, count, (v, gx, gy), step)
             return v, gx, gy
 
         def pixel_body_vag(px, py):
@@ -1332,30 +1470,16 @@ def build_power_map_kernel_looped(
                     dx, dy = pull(ones)
                     v, gx, gy = v + val, gx + dx, gy + dy
                 else:
-                    contrib = contribs[order]
-                    B = max(1, min(cand_block, count))
-                    nb = count // B
 
-                    def body(i, carry, _f=contrib, _B=B):
+                    def step(c, carry, _f=contribs[order]):
                         vv, ax, ay = carry
-                        for b in range(_B):
-                            c = i * _B + b
-                            val, pull = jax.vjp(
-                                lambda a, bb, _c=c: _f(_c, a, bb), px, py
-                            )
-                            dx, dy = pull(ones)
-                            vv, ax, ay = vv + val, ax + dx, ay + dy
-                        return (vv, ax, ay)
-
-                    v, gx, gy = jax.lax.fori_loop(
-                        0, nb, body, (v, gx, gy)
-                    )
-                    for c in range(nb * B, count):
                         val, pull = jax.vjp(
-                            lambda a, b, _c=c: contrib(_c, a, b), px, py
+                            lambda a, b: _f(c, a, b), px, py
                         )
                         dx, dy = pull(ones)
-                        v, gx, gy = v + val, gx + dx, gy + dy
+                        return (vv + val, ax + dx, ay + dy)
+
+                    v, gx, gy = cand_loop(order, count, (v, gx, gy), step)
             return v, gx, gy
 
         if with_grad:
@@ -1431,6 +1555,7 @@ def build_power_map_kernel_looped(
         # (depend only on TX + candidate, not on pixels).
         tx32 = tx.astype(jnp.float32)
         img_arrays = []
+        last_imgs = {}
         for o in cand_orders:
             cand = jnp.asarray(groups[o], dtype=jnp.int32)  # [C, o]
             cur = jnp.broadcast_to(tx32, (cand.shape[0], 2))
@@ -1442,6 +1567,54 @@ def build_power_map_kernel_looped(
                 cur = cur - 2.0 * d * wn
                 chain.append(cur)
             img_arrays.append(jnp.stack(chain, axis=1).reshape(-1))
+            last_imgs[o] = cur
+
+        cull_inputs = []
+        cull_specs = []
+        if cull:
+            # Tile-beam culling tables: per (pixel tile, order group), the
+            # list of candidate indices whose contribution can be nonzero
+            # anywhere in the tile (kept-first permutation + count).  The
+            # kernel's candidate loop then trips count times instead of C.
+            n_tiles = rows // block_rows
+            pxt = px.reshape(n_tiles, -1)
+            pyt = py.reshape(n_tiles, -1)
+            keep_by_order = beam_keep_tables(
+                walls32,
+                normals32,
+                kind,
+                groups,
+                cand_orders,
+                last_imgs,
+                pxt.min(axis=1), pxt.max(axis=1),
+                pyt.min(axis=1), pyt.max(axis=1),
+                approx=approx,
+                alpha=scalars[0],
+            )
+            for o in cand_orders:
+                keep = keep_by_order[o]
+                # 3-D [T, 1, C] so the BLOCKED trailing dims equal the
+                # array's (Mosaic requires last-two block dims divisible
+                # by (8, 128) or full); the grid axis is blocked by 1.
+                prm = (
+                    jnp.argsort(jnp.logical_not(keep), axis=1, stable=True)
+                    .astype(jnp.int32)[:, None, :]
+                )
+                cnt = jnp.sum(keep, axis=1).astype(jnp.int32)[:, None, None]
+                cull_inputs += [prm, cnt]
+                C = int(groups[o].shape[0])
+                cull_specs += [
+                    pl.BlockSpec(
+                        (1, 1, C),
+                        lambda i: (i, 0, 0),
+                        memory_space=pltpu.SMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, 1),
+                        lambda i: (i, 0, 0),
+                        memory_space=pltpu.SMEM,
+                    ),
+                ]
 
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         tile_spec = pl.BlockSpec(
@@ -1451,7 +1624,9 @@ def build_power_map_kernel_looped(
             kernel,
             grid=(rows // block_rows,),
             in_specs=[smem, smem, smem, smem]
-            + [smem] * (2 * len(cand_arrays) + 1)
+            + [smem] * (2 * len(cand_arrays))
+            + cull_specs
+            + [smem]
             + [tile_spec, tile_spec],
             out_specs=_out_specs(with_grad, block_rows),
             out_shape=_out_shape(rows, with_grad),
@@ -1463,6 +1638,7 @@ def build_power_map_kernel_looped(
             phi.astype(jnp.float32),
             *cand_arrays,
             *img_arrays,
+            *cull_inputs,
             aux,
             px,
             py,
@@ -1587,17 +1763,46 @@ def _get_entry(run, grad, value_and_grad, scalars_tuple):
         return hit[1]
     scal = np.asarray(scalars_tuple, dtype=np.float32)
     want_grad = grad or value_and_grad
+    pixel_block = getattr(run, "_pixel_block", None)
 
     @jax.jit
     def entry(X, Y, tx_xys, walls, kind, phi):
         pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+        # Culled kernels: permute pixels so each kernel tile covers a
+        # spatially-square block instead of a full-width row strip (a
+        # strip intersects most candidate beams; a square block few).
+        # Pure reindexing -- every pixel's value is bit-identical.
+        inv = None
+        if (
+            pixel_block is not None
+            and X.ndim == 2
+            and X.shape[0] % pixel_block[0] == 0
+            and X.shape[1] % pixel_block[1] == 0
+            and X.shape[0] >= pixel_block[0]
+            and X.shape[1] >= pixel_block[1]
+        ):
+            bh, bw = pixel_block
+            m, n = X.shape
+            perm = (
+                np.arange(m * n)
+                .reshape(m // bh, bh, n // bw, bw)
+                .transpose(0, 2, 1, 3)
+                .reshape(-1)
+            )
+            inv = jnp.asarray(np.argsort(perm), dtype=jnp.int32)
+            pixels = pixels[jnp.asarray(perm, dtype=jnp.int32)]
         txs = jnp.stack(tx_xys)
         out = run(pixels, txs, walls, kind, phi, jnp.asarray(scal))
         if want_grad:
             val, dval = out
+            if inv is not None:
+                val = val[inv]
+                dval = dval[inv]
             val = val.reshape(X.shape)
             dval = dval.reshape(*X.shape, 2)
             return (val, dval) if value_and_grad else dval
+        if inv is not None:
+            out = out[inv]
         return out.reshape(X.shape)
 
     _ENTRY_CACHE[key] = (run, entry)
@@ -1888,6 +2093,17 @@ def get_fused_run(
         # filtered city scene) still unrolls a huge blocked-test stream,
         # so candidate count must not override the compile-time bound.
         use_looped = stream_proxy > (400 if with_grad else 1200)
+    # Tile-beam candidate culling (bit-identical skipping of candidates
+    # whose contribution is exactly zero everywhere in a pixel tile) is
+    # sound exactly when zero contributions ARE exact: hard logic, or
+    # soft logic with the saturating hard_sigmoid (the default).  Plain
+    # sigmoid tails never reach zero, so those maps run unculled.
+    # DIFFERT2D_TPU_CULL=0 opts out (A/B and debugging).
+    cull = (
+        use_looped
+        and not (approx and sigmoid)
+        and os.environ.get("DIFFERT2D_TPU_CULL", "1") != "0"
+    )
     group_key = tuple(
         (o, g.tobytes(), g.shape) for o, g in sorted(groups.items())
     )
@@ -1899,6 +2115,7 @@ def get_fused_run(
             approx,
             sigmoid,
             interpret,
+            cull,
         )
     else:
         cache_key = (
@@ -1928,6 +2145,14 @@ def get_fused_run(
             # step instead of per candidate iteration (bit-identical,
             # +3.6% at 120 walls; at small W Mosaic's own LICM covers it).
             hoist_walls=int(walls_np.shape[0]) >= 32,
+            cull=cull,
+            # Culled runs want SMALL tiles: the per-tile active-candidate
+            # count shrinks with tile area (city extract: 46% of
+            # candidates kept at 64x64-pixel tiles vs 27% at 32x32), and
+            # the measured optimum is the minimal 8-row tile (6.5 vs
+            # 9.5 ms/map at 256x256, 2026-08-19).  Unculled runs keep the
+            # 32-row tile that amortizes the scalar preamble.
+            block_rows=8 if cull else 32,
         )
 
         def run(pixels, txs, walls, kind, phi, scalars):
@@ -1975,8 +2200,13 @@ def get_fused_run(
     if with_grad:
         # The grad-map outputs are terminal (no further autodiff through
         # them on the Pallas path; traced scenes fall back to XLA
-        # upstream), so no custom_vjp wrapper -- just one jitted dispatch.
-        run = jax.jit(run)
+        # upstream), so no custom_vjp wrapper -- just one jitted dispatch
+        # (re-wrapped in a plain function so entry hints attach below).
+        jitted = jax.jit(run)
+
+        def run(pixels, txs, walls, kind, phi, scalars, _j=jitted):
+            return _j(pixels, txs, walls, kind, phi, scalars)
+
     else:
         run = _differentiable_run(
             jax.jit(run),
@@ -1986,6 +2216,13 @@ def get_fused_run(
             approx=approx,
             sigmoid=sigmoid,
         )
+    # Introspection + entry hints: culled runs want spatially-square
+    # pixel tiles (a full-width row strip intersects most beams; a
+    # square block intersects few) -- _get_entry applies a block
+    # permutation when the grid shape allows it.
+    run._culled = cull
+    # 32x32 spatial blocks = one 8-row kernel tile per block.
+    run._pixel_block = (32, 32) if cull else None
     _KERNEL_CACHE[cache_key] = run
     while len(_KERNEL_CACHE) > _KERNEL_CACHE_MAX:
         _KERNEL_CACHE.popitem(last=False)

@@ -734,3 +734,215 @@ def test_tx_grid_vag_matches_xla(grids):
     )
     chex.assert_trees_all_close(rv, pv, **TOL)
     assert_close_except_kinks(pg, rg)
+
+
+# ---------------------------------------------------------------------------
+# Tile-beam candidate culling (bit-identical zero-contribution skipping)
+
+
+def _looped_args(scene, n=32):
+    from differt2d_tpu.tracer import scene_arrays
+
+    arrays = scene_arrays(scene)
+    X, Y = jnp.meshgrid(
+        jnp.linspace(0.01, 0.99, n), jnp.linspace(0.01, 0.99, n)
+    )
+    pix = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+    scal = jnp.array([100.0, 1e-2, 0.0, 0.5, 0.1], dtype=jnp.float32)
+    return arrays, pix, scal
+
+
+@pytest.mark.parametrize("approx", [True, False])
+def test_cull_bitwise_identical(approx):
+    """Culled vs unculled looped kernel is bit-identical (order <= 2,
+    multiple 8-row tiles): skipped candidates contribute exact zeros
+    under hard logic / saturated hard_sigmoid."""
+    from differt2d_tpu.ops.pallas_kernels import build_power_map_kernel_looped
+    from differt2d_tpu.rt import path_candidate_matrices
+
+    scene = Scene.basic_scene()
+    arrays, pix, scal = _looped_args(scene)
+    groups = path_candidate_matrices(arrays.num_objects, 0, 2)
+    tx = scene.transmitters["tx"].xy
+    outs = []
+    for cull in (False, True):
+        run = build_power_map_kernel_looped(
+            arrays.num_objects, groups, approx=approx, interpret=True,
+            block_rows=8, cull=cull,
+        )
+        outs.append(
+            np.asarray(
+                run(pix, tx, arrays.walls, arrays.kind, arrays.phi, scal)
+            )
+        )
+    assert np.array_equal(outs[0], outs[1])
+
+
+def test_cull_vag_bitwise_identical():
+    """Culling is bit-identical for the analytic value+grad sweep too:
+    strictly inside hard_sigmoid saturation the derivative is exactly
+    zero, so skipped candidates contribute (0, 0, 0)."""
+    from differt2d_tpu.ops.pallas_kernels import build_power_map_kernel_looped
+    from differt2d_tpu.rt import path_candidate_matrices
+
+    scene = Scene.basic_scene()
+    arrays, pix, scal = _looped_args(scene)
+    groups = path_candidate_matrices(arrays.num_objects, 0, 2)
+    tx = scene.transmitters["tx"].xy
+    outs = []
+    for cull in (False, True):
+        run = build_power_map_kernel_looped(
+            arrays.num_objects, groups, approx=True, interpret=True,
+            block_rows=8, cull=cull, mode="value_and_grad",
+        )
+        outs.append(
+            jax.tree.map(
+                np.asarray,
+                run(pix, tx, arrays.walls, arrays.kind, arrays.phi, scal),
+            )
+        )
+    assert np.array_equal(outs[0][0], outs[1][0])
+    assert np.array_equal(outs[0][1], outs[1][1])
+
+
+def test_cull_city_extract_bitwise():
+    """City-scale realism case (136 oblique/concave walls): the workload
+    culling exists for stays bit-identical."""
+    from differt2d_tpu.ops.pallas_kernels import build_power_map_kernel_looped
+    from differt2d_tpu.rt import path_candidate_matrices
+
+    scene = Scene.city_extract_scene()
+    arrays, pix, scal = _looped_args(scene)
+    groups = path_candidate_matrices(arrays.num_objects, 0, 1)
+    tx = scene.transmitters["tx"].xy
+    outs = []
+    for cull in (False, True):
+        run = build_power_map_kernel_looped(
+            arrays.num_objects, groups, approx=True, interpret=True,
+            block_rows=8, cull=cull, hoist_walls=True,
+        )
+        outs.append(
+            np.asarray(
+                run(pix, tx, arrays.walls, arrays.kind, arrays.phi, scal)
+            )
+        )
+    assert np.array_equal(outs[0], outs[1])
+
+
+def test_cull_dispatch_flags(monkeypatch):
+    """Auto dispatch enables culling exactly where it is sound: looped
+    kernels under hard logic or hard_sigmoid; sigmoid maps and the env
+    opt-out stay unculled."""
+    from differt2d_tpu.ops.pallas_kernels import get_fused_run
+    from differt2d_tpu.rt import path_candidate_matrices
+    from differt2d_tpu.tracer import scene_arrays
+
+    scene = Scene.city_scene()
+    arrays = scene_arrays(scene)
+    groups = path_candidate_matrices(arrays.num_objects, 0, 1)
+    kw = dict(n_tx=1, interpret=True, mode="value")
+    run = get_fused_run(arrays, groups, approx=True, sigmoid=False, **kw)
+    assert run._culled and run._pixel_block == (32, 32)
+    run = get_fused_run(arrays, groups, approx=True, sigmoid=True, **kw)
+    assert not run._culled and run._pixel_block is None
+    run = get_fused_run(arrays, groups, approx=False, sigmoid=False, **kw)
+    assert run._culled
+    monkeypatch.setenv("DIFFERT2D_TPU_CULL", "0")
+    run = get_fused_run(arrays, groups, approx=True, sigmoid=False, **kw)
+    assert not run._culled
+
+    # Small scenes take the unrolled kernel: no culling machinery.
+    small = Scene.basic_scene()
+    arrays_s = scene_arrays(small)
+    monkeypatch.delenv("DIFFERT2D_TPU_CULL")
+    run = get_fused_run(
+        arrays_s,
+        path_candidate_matrices(arrays_s.num_objects, 0, 1),
+        approx=True,
+        sigmoid=False,
+        n_tx=1,
+        interpret=False,  # interpret forces looped; probe the TPU choice
+        mode="value",
+    )
+    assert not run._culled
+
+
+def test_cull_sigmoid_rejected():
+    """The looped builder refuses cull+sigmoid: sigmoid tails never
+    reach exact zero, so skipping would change the map."""
+    from differt2d_tpu.ops.pallas_kernels import build_power_map_kernel_looped
+    from differt2d_tpu.rt import path_candidate_matrices
+
+    with pytest.raises(ValueError, match="saturation"):
+        build_power_map_kernel_looped(
+            7, path_candidate_matrices(7, 0, 1), approx=True, sigmoid=True,
+            cull=True,
+        )
+
+
+def test_beam_keep_tables_prune_and_protect():
+    """The keep tables actually prune on a city tile grid, and
+    vertex-last candidates are always kept (their contains factor is
+    identically 1, so culling them would be unsound)."""
+    from differt2d_tpu.ops.pallas_kernels import beam_keep_tables
+    from differt2d_tpu.rt import path_candidate_matrices
+    from differt2d_tpu.tracer import scene_arrays
+
+    scene = Scene.city_extract_scene()
+    arrays = scene_arrays(scene)
+    groups = path_candidate_matrices(arrays.num_objects, 0, 1)
+    walls32 = jnp.asarray(arrays.walls, jnp.float32)
+    a, b = walls32[:, 0, :], walls32[:, 1, :]
+    t = b - a
+    nr = jnp.stack([t[:, 1], -t[:, 0]], -1)
+    nl = jnp.sqrt((nr * nr).sum(-1, keepdims=True))
+    normals32 = nr / jnp.where(nl == 0, 1, nl)
+    tx = scene.transmitters["tx"].xy
+    cand = jnp.asarray(groups[1], jnp.int32)
+    wn = normals32[cand[:, 0]]
+    wa = walls32[cand[:, 0], 0, :]
+    cur = jnp.broadcast_to(tx, (cand.shape[0], 2))
+    d = ((cur - wa) * wn).sum(-1, keepdims=True)
+    last = {1: cur - 2 * d * wn}
+    # 8x8 grid of 32x32-pixel tile boxes over the unit square.
+    edges = np.linspace(0.01, 0.99, 9)
+    x0, x1 = np.repeat(edges[:-1], 8), np.repeat(edges[1:], 8)
+    y0, y1 = np.tile(edges[:-1], 8), np.tile(edges[1:], 8)
+    keep = beam_keep_tables(
+        walls32, normals32, arrays.kind, groups, [1], last,
+        jnp.asarray(x0, jnp.float32), jnp.asarray(x1, jnp.float32),
+        jnp.asarray(y0, jnp.float32), jnp.asarray(y1, jnp.float32),
+        approx=True, alpha=jnp.float32(100.0),
+    )[1]
+    frac = float(jnp.mean(keep))
+    assert frac < 0.75, f"culling prunes nothing (keep fraction {frac})"
+
+    # Vertex-last protection: rebuild with every candidate's wall kind
+    # forced to Vertex -- all rows must be kept.
+    kind_vtx = jnp.full_like(arrays.kind, 2)
+    keep_vtx = beam_keep_tables(
+        walls32, normals32, kind_vtx, groups, [1], last,
+        jnp.asarray(x0, jnp.float32), jnp.asarray(x1, jnp.float32),
+        jnp.asarray(y0, jnp.float32), jnp.asarray(y1, jnp.float32),
+        approx=True, alpha=jnp.float32(100.0),
+    )[1]
+    assert bool(jnp.all(keep_vtx))
+
+
+def test_cull_end_to_end_power_map(monkeypatch):
+    """power_map auto dispatch with culling (incl. the 32x32 block pixel
+    permutation) is bit-identical to the unculled run and allclose to
+    the XLA tracer."""
+    scene = Scene.random_uniform_scene(
+        n_walls=17, key=jax.random.PRNGKey(7)
+    )
+    X, Y = jnp.meshgrid(
+        jnp.linspace(0.02, 0.98, 64), jnp.linspace(0.02, 0.98, 64)
+    )
+    kw = dict(max_order=1, approx=True)
+    culled = tracer.power_map(scene, X, Y, backend="pallas", **kw)
+    monkeypatch.setenv("DIFFERT2D_TPU_CULL", "0")
+    unculled = tracer.power_map(scene, X, Y, backend="pallas", **kw)
+    assert np.array_equal(np.asarray(culled), np.asarray(unculled))
+    ref = tracer.power_map(scene, X, Y, backend="xla", **kw)
+    chex.assert_trees_all_close(culled, ref, **TOL)

@@ -628,9 +628,21 @@ def full_config_sweep() -> dict:
         Xc, Yc, k=5, reps=3,
     )
     _set("cfg6_city_120walls_order1_pts_per_s", round(256 * 256 / t, 1))
-    pct = _pct_vpu_peak(city, 256 * 256, t, max_order=1, approx=True)
-    if pct is not None:
-        _set("cfg6_pct_vpu_peak", pct)
+    # %VPU-peak only makes sense against the unculled FLOP model, so the
+    # A/B row below carries it (culled runs skip most of those FLOPs --
+    # the model read 147% otherwise).
+    os.environ["DIFFERT2D_TPU_CULL"] = "0"
+    try:
+        t = chained_grid_map_time(
+            lambda Xg, Yg: power_map(city, Xg, Yg, max_order=1, approx=True),
+            Xc, Yc, k=5, reps=3,
+        )
+        _set("cfg6_city_unculled_pts_per_s", round(256 * 256 / t, 1))
+        pct = _pct_vpu_peak(city, 256 * 256, t, max_order=1, approx=True)
+        if pct is not None:
+            _set("cfg6_unculled_pct_vpu_peak", pct)
+    finally:
+        del os.environ["DIFFERT2D_TPU_CULL"]
 
     # Config 7: vendored OSM-style city extract (136 oblique walls, concave
     # L/U/T footprints) -- realism upgrade over config 6's Manhattan grid.
@@ -643,9 +655,31 @@ def full_config_sweep() -> dict:
         Xe, Ye, k=5, reps=3,
     )
     _set("cfg7_city_extract_136walls_order1_pts_per_s", round(256 * 256 / t, 1))
-    pct = _pct_vpu_peak(extract, 256 * 256, t, max_order=1, approx=True)
-    if pct is not None:
-        _set("cfg7_pct_vpu_peak", pct)
+
+
+    # A/B row: the same map with tile-beam culling disabled (candidates
+    # whose contribution is exactly zero in a pixel tile are skipped by
+    # default -- bit-identical, see ops/pallas_kernels.beam_keep_tables).
+    os.environ["DIFFERT2D_TPU_CULL"] = "0"
+    try:
+        t = chained_grid_map_time(
+            lambda Xg, Yg: power_map(extract, Xg, Yg, max_order=1, approx=True),
+            Xe, Ye, k=5, reps=3,
+        )
+        _set(
+            "cfg7_city_extract_unculled_pts_per_s", round(256 * 256 / t, 1)
+        )
+    finally:
+        del os.environ["DIFFERT2D_TPU_CULL"]
+
+    # Config 8: second-order city map (18,497 candidates x 136 walls) --
+    # the scale multi-bounce tile-beam culling unlocks (measured 7.1x
+    # over unculled, bit-identical).
+    t = chained_grid_map_time(
+        lambda Xg, Yg: power_map(extract, Xg, Yg, max_order=2, approx=True),
+        Xe, Ye, k=3, reps=2,
+    )
+    _set("cfg8_city_extract_order2_pts_per_s", round(256 * 256 / t, 1))
 
     # Config 5: RIS phase-gradient optimization step (MPT).  No backend
     # pin: the scene carries the traced phi, so auto dispatch resolves
@@ -697,8 +731,10 @@ def full_config_sweep() -> dict:
         phi, ris_state, v = ris_step(phi, ris_state)
         return v
 
-    t = chained_step_time(ris_step_fn, k=5)
-    _set("cfg5_ris_phase_opt_s_per_step", round(t, 4))
+    # Sub-ms steps: k=200 puts the chained signal (~20-100 ms) well
+    # above the ~30 ms round-trip jitter.
+    t = chained_step_time(ris_step_fn, k=200, reps=3)
+    _set("cfg5_ris_phase_opt_s_per_step", round(t, 5))
 
     # Reverse-mode comparison row (the round-2 methodology).
     @jax.jit
@@ -715,8 +751,8 @@ def full_config_sweep() -> dict:
         phi_r, state_r, v = ris_step_rev(phi_r, state_r)
         return v
 
-    t = chained_step_time(ris_step_rev_fn, k=5)
-    _set("cfg5_ris_phase_opt_rev_s_per_step", round(t, 4))
+    t = chained_step_time(ris_step_rev_fn, k=200, reps=3)
+    _set("cfg5_ris_phase_opt_rev_s_per_step", round(t, 5))
 
     return out
 

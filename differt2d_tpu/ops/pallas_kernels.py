@@ -743,7 +743,7 @@ def beam_keep_tables(
     kind,
     groups: dict[int, np.ndarray],
     cand_orders,
-    last_imgs: dict,
+    img_chains: dict,
     x0, x1, y0, y1,
     *,
     approx: bool,
@@ -752,9 +752,9 @@ def beam_keep_tables(
     """Per-(pixel tile, candidate) conservative keep mask for tile-beam
     candidate culling.
 
-    A candidate's contribution to a pixel is exactly zero whenever its
-    LAST bounce's wall parameter ``t`` sits strictly in the saturation
-    region of the ``contains`` factor: under hard logic the factor is
+    A candidate's contribution to a pixel is exactly zero whenever ANY
+    bounce's wall parameter ``t_j`` sits strictly in the saturation
+    region of its ``contains`` factor: under hard logic the factor is
     the boolean ``0 <= t <= 1``; under soft logic with ``hard_sigmoid``
     (``relu6(alpha t + 3)/6``) it is exactly 0 for ``t <= -3/alpha`` and
     the running soft-AND ``min`` then pins ``valid`` (and, because
@@ -763,25 +763,31 @@ def beam_keep_tables(
     skipping the candidate is bit-identical to accumulating it.  (Plain
     ``sigmoid`` never reaches exact zero; culling must stay off there.)
 
-    The kernel computes the last bounce from the TX mirror image ``I``
-    (constant per candidate) as the intersection of the line ``I -> p``
-    with the wall line ``A + t (B - A)``; eliminating the intermediate
-    point gives ``t = N(p) / D(p)`` with both ``N`` and ``D`` affine in
-    the pixel ``p``:
+    The kernel's backward image recursion makes every bounce point a
+    PROJECTIVE-AFFINE function of the pixel ``p``: starting from
+    ``q = p`` and stepping toward the TX, each wall bounce maps
 
-        U(p) = (p - I) . n        (n = unit wall normal)
-        t    = [k1 * U(p) + c * (p - I) . d] / (|d|^2 * U(p))
-        k1   = (I - A) . d,   c = (A - I) . n,   d = B - A
+        q' = [I u(q) + c (V - w I)] / u(q),   u = V . n - w (I . n)
 
-    Affine interval arithmetic over the tile's bounding box bounds
-    ``N`` and ``D`` exactly; when ``D`` is sign-definite the quotient
-    hull bounds ``t`` conservatively.  The interval is widened by an
-    absolute + relative pad so f32 rounding inside the kernel cannot
-    move a pixel across the saturation threshold (the pad only costs a
-    sliver of culling efficiency near beam edges).  Tiles where ``D``
-    straddles zero, and candidates whose last bounce is a Vertex
-    (``contains`` is identically 1 there, reference
-    ``geometry.py:353-431``), are always kept.
+    where ``q = (V_x, V_y) / w`` with ``V``, ``w`` affine in ``p``,
+    ``I`` the mirror-image chain constant and ``c = (A - I) . n`` --
+    the denominator ``w`` cancels, so the coefficients stay degree-1
+    under composition.  Each bounce's wall parameter is then again a
+    ratio of two affines,
+
+        t_j = [k1 u + c a] / (|d|^2 u),   a = V . d - w (I . d),
+
+    bounded conservatively over the tile's bounding box by affine
+    interval arithmetic (exact for affine forms; the quotient hull is
+    valid whenever the denominator is sign-definite over the tile).
+    Intervals are widened by an absolute + relative pad so f32 rounding
+    inside the kernel cannot move a pixel across the saturation
+    threshold.  A Vertex bounce pins ``q`` to the vertex (its
+    ``contains`` is identically 1, reference ``geometry.py:353-431``):
+    no cull on that bounce, but deeper bounces remain cullable.  When a
+    bounce's denominator straddles zero over the tile (the kernel's
+    ``un == 0`` guard could fire), that bounce and all deeper ones are
+    left unculled for the tile.
 
     :return: ``{order: keep[T, C_order] bool}`` for each entry of
         ``cand_orders``.
@@ -794,7 +800,9 @@ def beam_keep_tables(
     lo_thr = -band
     hi_thr = 1.0 + band
 
-    def _ival(F0, Fx, Fy):
+    def _ival(F):
+        """Interval of the affine form F = (F0, Fx, Fy) over the tiles."""
+        F0, Fx, Fy = F
         xa = Fx[None, :] * x0[:, None]
         xb = Fx[None, :] * x1[:, None]
         ya = Fy[None, :] * y0[:, None]
@@ -805,35 +813,82 @@ def beam_keep_tables(
 
     keep_by_order = {}
     for o in cand_orders:
-        li = jnp.asarray(np.asarray(groups[o])[:, -1], dtype=jnp.int32)
-        img = last_imgs[o]  # [C, 2]
-        a_pt = walls32[li, 0, :]
-        b_pt = walls32[li, 1, :]
-        d = b_pt - a_pt
-        nv = normals32[li]
-        dd = jnp.sum(d * d, axis=-1)
-        c_c = jnp.sum((a_pt - img) * nv, axis=-1)
-        k1 = jnp.sum((img - a_pt) * d, axis=-1)
-        i_n = jnp.sum(img * nv, axis=-1)
-        i_d = jnp.sum(img * d, axis=-1)
-        n_x = k1 * nv[:, 0] + c_c * d[:, 0]
-        n_y = k1 * nv[:, 1] + c_c * d[:, 1]
-        n_0 = -k1 * i_n - c_c * i_d
-        d_x = dd * nv[:, 0]
-        d_y = dd * nv[:, 1]
-        d_0 = -dd * i_n
-        nlo, nhi = _ival(n_0, n_x, n_y)
-        dlo, dhi = _ival(d_0, d_x, d_y)
-        sign_def = (dlo > 0.0) | (dhi < 0.0)
-        sa = jnp.where(dlo == 0.0, 1.0, dlo)
-        sb = jnp.where(dhi == 0.0, 1.0, dhi)
-        q = jnp.stack([nlo / sa, nlo / sb, nhi / sa, nhi / sb])
-        tmin = jnp.min(q, axis=0)
-        tmax = jnp.max(q, axis=0)
-        pad = 0.05 + 0.01 * jnp.maximum(jnp.abs(tmin), jnp.abs(tmax))
-        overlap = (tmax + pad >= lo_thr) & (tmin - pad <= hi_thr)
-        vertex_last = (kind_i32[li] == KIND_VERTEX)[None, :]
-        keep_by_order[o] = (~sign_def) | overlap | vertex_last
+        cand = np.asarray(groups[o])
+        C = cand.shape[0]
+        T = x0.shape[0]
+        zeros_c = jnp.zeros((C,), jnp.float32)
+        ones_c = jnp.ones((C,), jnp.float32)
+        # q = (Vx, Vy) / w as affine coefficient triples (const, x, y),
+        # one [C] array per coefficient; starts at the pixel itself.
+        vx = (zeros_c, ones_c, zeros_c)
+        vy = (zeros_c, zeros_c, ones_c)
+        w = (ones_c, zeros_c, zeros_c)
+        culled = jnp.zeros((T, C), bool)
+        alive = jnp.ones((T, C), bool)
+        imgs = img_chains[o]  # [C, o, 2]
+        for j in range(o - 1, -1, -1):
+            li = jnp.asarray(cand[:, j], dtype=jnp.int32)
+            a_pt = walls32[li, 0, :]
+            b_pt = walls32[li, 1, :]
+            d = b_pt - a_pt
+            nv = normals32[li]
+            dd = jnp.sum(d * d, axis=-1)
+            img = imgs[:, j, :]
+            c_c = jnp.sum((a_pt - img) * nv, axis=-1)
+            k1 = jnp.sum((img - a_pt) * d, axis=-1)
+            i_n = jnp.sum(img * nv, axis=-1)
+            i_d = jnp.sum(img * d, axis=-1)
+            # u = V . n - w (I . n);  a = V . d - w (I . d)  (affine)
+            u = tuple(
+                vx[t] * nv[:, 0] + vy[t] * nv[:, 1] - w[t] * i_n
+                for t in range(3)
+            )
+            av = tuple(
+                vx[t] * d[:, 0] + vy[t] * d[:, 1] - w[t] * i_d
+                for t in range(3)
+            )
+            num = tuple(k1 * u[t] + c_c * av[t] for t in range(3))
+            den = tuple(dd * u[t] for t in range(3))
+            nlo, nhi = _ival(num)
+            dlo, dhi = _ival(den)
+            sign_def = ((dlo > 0.0) | (dhi < 0.0)) & (dd > 0.0)[None, :]
+            sa = jnp.where(dlo == 0.0, 1.0, dlo)
+            sb = jnp.where(dhi == 0.0, 1.0, dhi)
+            q = jnp.stack([nlo / sa, nlo / sb, nhi / sa, nhi / sb])
+            tmin = jnp.min(q, axis=0)
+            tmax = jnp.max(q, axis=0)
+            pad = 0.05 + 0.01 * jnp.maximum(jnp.abs(tmin), jnp.abs(tmax))
+            out_of_band = (tmax + pad < lo_thr) | (tmin - pad > hi_thr)
+            is_vtx = (kind_i32[li] == KIND_VERTEX)[None, :]
+            culled = culled | (alive & sign_def & out_of_band & ~is_vtx)
+            if j > 0:
+                # Prepare the next (deeper) bounce's q.  Vertex: pinned
+                # to the wall's A point exactly (guard-free).  Wall/RIS:
+                # the projective step above -- valid per tile only where
+                # u is sign-definite (alive).
+                is_vtx_c = kind_i32[li] == KIND_VERTEX
+                alive = alive & (sign_def | is_vtx)
+                new_vx = tuple(
+                    jnp.where(
+                        is_vtx_c,
+                        a_pt[:, 0] * w[t],
+                        img[:, 0] * u[t] + c_c * (vx[t] - w[t] * img[:, 0]),
+                    )
+                    for t in range(3)
+                )
+                new_vy = tuple(
+                    jnp.where(
+                        is_vtx_c,
+                        a_pt[:, 1] * w[t],
+                        img[:, 1] * u[t] + c_c * (vy[t] - w[t] * img[:, 1]),
+                    )
+                    for t in range(3)
+                )
+                new_w = tuple(
+                    jnp.where(is_vtx_c, w[t], u[t]) for t in range(3)
+                )
+                vx, vy, w = new_vx, new_vy, new_w
+        keep_by_order[o] = ~culled
     return keep_by_order
 
 
@@ -1555,7 +1610,7 @@ def build_power_map_kernel_looped(
         # (depend only on TX + candidate, not on pixels).
         tx32 = tx.astype(jnp.float32)
         img_arrays = []
-        last_imgs = {}
+        img_chains = {}
         for o in cand_orders:
             cand = jnp.asarray(groups[o], dtype=jnp.int32)  # [C, o]
             cur = jnp.broadcast_to(tx32, (cand.shape[0], 2))
@@ -1566,8 +1621,9 @@ def build_power_map_kernel_looped(
                 d = jnp.sum((cur - wa) * wn, axis=-1, keepdims=True)
                 cur = cur - 2.0 * d * wn
                 chain.append(cur)
-            img_arrays.append(jnp.stack(chain, axis=1).reshape(-1))
-            last_imgs[o] = cur
+            img_stack = jnp.stack(chain, axis=1)  # [C, o, 2]
+            img_arrays.append(img_stack.reshape(-1))
+            img_chains[o] = img_stack
 
         cull_inputs = []
         cull_specs = []
@@ -1585,7 +1641,7 @@ def build_power_map_kernel_looped(
                 kind,
                 groups,
                 cand_orders,
-                last_imgs,
+                img_chains,
                 pxt.min(axis=1), pxt.max(axis=1),
                 pyt.min(axis=1), pyt.max(axis=1),
                 approx=approx,
@@ -2098,9 +2154,20 @@ def get_fused_run(
     # sound exactly when zero contributions ARE exact: hard logic, or
     # soft logic with the saturating hard_sigmoid (the default).  Plain
     # sigmoid tails never reach zero, so those maps run unculled.
+    # All-Vertex candidate sets (e.g. vertex-diffraction maps) have no
+    # cullable bounce at all -- the machinery (8-row tiles, dynamic trip
+    # counts, pixel permutation) would be pure overhead (measured ~25%
+    # on the cfg4 street scene), so they stay on the static loop.
     # DIFFERT2D_TPU_CULL=0 opts out (A/B and debugging).
+    any_cullable = any(
+        o >= 1
+        and g.size
+        and bool(np.any(kinds_np[np.asarray(g)] != KIND_VERTEX))
+        for o, g in groups.items()
+    )
     cull = (
         use_looped
+        and any_cullable
         and not (approx and sigmoid)
         and os.environ.get("DIFFERT2D_TPU_CULL", "1") != "0"
     )

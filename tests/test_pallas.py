@@ -851,10 +851,32 @@ def test_cull_dispatch_flags(monkeypatch):
     run = get_fused_run(arrays, groups, approx=True, sigmoid=False, **kw)
     assert not run._culled
 
+    monkeypatch.delenv("DIFFERT2D_TPU_CULL")
+
+    # All-vertex candidate sets (vertex-diffraction maps) have no
+    # cullable bounce: the machinery would be pure overhead.
+    vtx_scene = Scene.square_scene()
+    for obj in list(vtx_scene.objects):
+        vtx_scene = vtx_scene.add_objects(*obj.get_vertices())
+    arrays_v = scene_arrays(vtx_scene)
+    filter_nodes = tuple(
+        i for i, o in enumerate(vtx_scene.objects)
+        if not isinstance(o, Vertex)
+    )
+    run = get_fused_run(
+        arrays_v,
+        path_candidate_matrices(
+            arrays_v.num_objects, 0, 1, filter_nodes=filter_nodes
+        ),
+        approx=True,
+        sigmoid=False,
+        **kw,
+    )
+    assert not run._culled
+
     # Small scenes take the unrolled kernel: no culling machinery.
     small = Scene.basic_scene()
     arrays_s = scene_arrays(small)
-    monkeypatch.delenv("DIFFERT2D_TPU_CULL")
     run = get_fused_run(
         arrays_s,
         path_candidate_matrices(arrays_s.num_objects, 0, 1),
@@ -903,7 +925,7 @@ def test_beam_keep_tables_prune_and_protect():
     wa = walls32[cand[:, 0], 0, :]
     cur = jnp.broadcast_to(tx, (cand.shape[0], 2))
     d = ((cur - wa) * wn).sum(-1, keepdims=True)
-    last = {1: cur - 2 * d * wn}
+    last = {1: (cur - 2 * d * wn)[:, None, :]}  # [C, 1, 2] image chain
     # 8x8 grid of 32x32-pixel tile boxes over the unit square.
     edges = np.linspace(0.01, 0.99, 9)
     x0, x1 = np.repeat(edges[:-1], 8), np.repeat(edges[1:], 8)
@@ -946,3 +968,44 @@ def test_cull_end_to_end_power_map(monkeypatch):
     assert np.array_equal(np.asarray(culled), np.asarray(unculled))
     ref = tracer.power_map(scene, X, Y, backend="xla", **kw)
     chex.assert_trees_all_close(culled, ref, **TOL)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cull_random_scene_bitwise(seed):
+    """Randomized soundness check: culled vs unculled looped kernel on a
+    random wall soup (order <= 2, random TX) stays bit-identical for
+    value and value+grad maps."""
+    from differt2d_tpu.ops.pallas_kernels import build_power_map_kernel_looped
+    from differt2d_tpu.rt import path_candidate_matrices
+    from differt2d_tpu.tracer import scene_arrays
+
+    key = jax.random.PRNGKey(seed)
+    kw, kt, kg = jax.random.split(key, 3)
+    scene = Scene.random_uniform_scene(n_walls=6, key=kw)
+    arrays = scene_arrays(scene)
+    groups = path_candidate_matrices(arrays.num_objects, 0, 2)
+    tx = jax.random.uniform(kt, (2,))
+    gx, gy = jax.random.uniform(kg, (2,), minval=-0.2, maxval=1.2)
+    X, Y = jnp.meshgrid(
+        jnp.linspace(gx, gx + 1.0, 32), jnp.linspace(gy, gy + 1.0, 32)
+    )
+    pix = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+    scal = jnp.array([100.0, 1e-2, 0.0, 0.5, 0.1], dtype=jnp.float32)
+    for mode in ("value", "value_and_grad"):
+        outs = []
+        for cull in (False, True):
+            run = build_power_map_kernel_looped(
+                arrays.num_objects, groups, approx=True, interpret=True,
+                block_rows=8, cull=cull, mode=mode,
+            )
+            outs.append(
+                jax.tree.map(
+                    np.asarray,
+                    run(
+                        pix, tx, arrays.walls, arrays.kind, arrays.phi,
+                        scal,
+                    ),
+                )
+            )
+        for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
+            assert np.array_equal(a, b), f"mode={mode} seed={seed}"

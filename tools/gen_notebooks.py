@@ -242,7 +242,14 @@ def city_coverage_nb():
             "(`power_map_cand_sharded`) for scenes whose path count\n"
             "explodes, wall-axis sharding for the order-1 visibility\n"
             "test, and multi-host launch + gang supervision under\n"
-            "`differt2d_tpu.parallel`."
+            "`differt2d_tpu.parallel`.\n\n"
+            "On a real TPU chip this map rides the looped Pallas kernel\n"
+            "with **tile-beam candidate culling** — per pixel tile,\n"
+            "candidates whose contribution is exactly zero (out-of-beam\n"
+            "reflections saturate the hard-sigmoid contains factor at an\n"
+            "exact 0) are skipped bit-identically: 3.1× at order 1 and\n"
+            "7.1× at order 2 on this extract (`docs/performance.md`,\n"
+            "BASELINE.md configs 6-8)."
         ),
     ]
     return _nb(cells)

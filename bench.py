@@ -384,7 +384,13 @@ def _inner_main():
         **roofline,
     }
 
-    if os.environ.get("BENCH_FULL") == "1":
+    # Default-ON config sweep: the driver's plain ``python bench.py`` must
+    # certify every BASELINE config (cfg2..cfg8), not just the north-star
+    # (round 3 left six of eight rows builder-self-reported behind
+    # BENCH_FULL=1).  Each cfg streams a #PART# line, so a tunnel hang
+    # mid-sweep still leaves all earlier configs in the salvaged artifact.
+    # BENCH_FULL=0 opts out (CI smoke / CPU fallback).
+    if os.environ.get("BENCH_FULL", "1") != "0":
         result.update(full_config_sweep())
 
     print(json.dumps(result))
@@ -458,7 +464,8 @@ def _pct_vpu_peak(scene, n_points: int, t_per_map: float, **fn_kwargs):
 
 
 def full_config_sweep() -> dict:
-    """Timings for the remaining BASELINE.json configs (BENCH_FULL=1)."""
+    """Timings for the remaining BASELINE.json configs (default-on;
+    BENCH_FULL=0 skips)."""
     import jax.numpy as jnp
     import optax
 

@@ -42,6 +42,18 @@ KIND_WALL = 0
 KIND_RIS = 1
 KIND_VERTEX = 2
 
+# Interval pads for the culling proofs (beam_keep_tables): the interval
+# analysis runs in f32 without directed rounding, and the kernel's own
+# per-pixel arithmetic differs from the affine-form evaluation by a few
+# ULPs per op (~1e-6 relative over ~20-op chains), so every proof
+# threshold is backed off by abs + rel margins ~3 orders of magnitude
+# above that error scale.  Soundness is enforced empirically by the
+# randomized culled-vs-unculled bitwise suites (tests/test_pallas.py)
+# and the DIFFERT2D_TPU_CULL_CHECK runtime canary.  (Round 3 used
+# 0.05 + 1%, which cost ~2x of provable occlusion culling.)
+_CULL_PAD_ABS = 1e-3
+_CULL_PAD_REL = 1e-3
+
 
 def _soft(x, alpha, sigmoid: bool):
     """activation(x) = f(alpha * x); reference logic.py:220-255."""
@@ -737,6 +749,62 @@ def _slice_outputs(out, padded: int, P: int, with_grad: bool):
     return val, jnp.stack([dx, dy], axis=-1)
 
 
+def _aa_mul(A, B):
+    """Product of two centered affine forms over a tile.
+
+    A form ``(c, gx, gy, r)`` (each ``[T, C]``) means
+    ``c + gx*xi + gy*eta + e`` with ``xi, eta in [-1, 1]`` (normalized
+    tile-box coordinates) and ``|e| <= r``.  The product keeps the
+    linear terms symbolic (``ca*lb + cb*la``) and folds everything
+    nonlinear into the residue -- tight to second order in the tile
+    half-width, unlike a plain interval product which discards ALL
+    correlation (measured: global-interval products proved occlusion on
+    0.4% of city (tile, candidate) pairs; the centered forms on ~20x
+    more).
+    """
+    ca, ax, ay, ra = A
+    cb, bx, by, rb = B
+    la = jnp.abs(ax) + jnp.abs(ay) + ra
+    lb = jnp.abs(bx) + jnp.abs(by) + rb
+    return (
+        ca * cb,
+        ca * bx + cb * ax,
+        ca * by + cb * ay,
+        jnp.abs(ca) * rb + jnp.abs(cb) * ra + la * lb,
+    )
+
+
+def _aa_lincomb(sa, A, sb, B):
+    """``sa*A + sb*B`` with per-candidate/scalar weights (residues add
+    with absolute weights)."""
+    return (
+        sa * A[0] + sb * B[0],
+        sa * A[1] + sb * B[1],
+        sa * A[2] + sb * B[2],
+        jnp.abs(sa) * A[3] + jnp.abs(sb) * B[3],
+    )
+
+
+def _aa_ival(A):
+    c, gx, gy, r = A
+    w = jnp.abs(gx) + jnp.abs(gy) + r
+    return c - w, c + w
+
+
+def _idiv(N, D):
+    """Interval quotient; caller must mask lanes where D straddles 0."""
+    nlo, nhi = N
+    dlo, dhi = D
+    sa = jnp.where(dlo == 0.0, 1.0, dlo)
+    sb = jnp.where(dhi == 0.0, 1.0, dhi)
+    q = jnp.stack([nlo / sa, nlo / sb, nhi / sa, nhi / sb])
+    return jnp.min(q, axis=0), jnp.max(q, axis=0)
+
+
+def _sign_def(I):
+    return (I[0] > 0.0) | (I[1] < 0.0)
+
+
 def beam_keep_tables(
     walls32,
     normals32,
@@ -748,6 +816,10 @@ def beam_keep_tables(
     *,
     approx: bool,
     alpha,
+    tx=None,
+    patch=None,
+    occlusion: bool = True,
+    refine: int = 4,
 ):
     """Per-(pixel tile, candidate) conservative keep mask for tile-beam
     candidate culling.
@@ -777,17 +849,55 @@ def beam_keep_tables(
 
         t_j = [k1 u + c a] / (|d|^2 u),   a = V . d - w (I . d),
 
-    bounded conservatively over the tile's bounding box by affine
-    interval arithmetic (exact for affine forms; the quotient hull is
-    valid whenever the denominator is sign-definite over the tile).
-    Intervals are widened by an absolute + relative pad so f32 rounding
-    inside the kernel cannot move a pixel across the saturation
-    threshold.  A Vertex bounce pins ``q`` to the vertex (its
-    ``contains`` is identically 1, reference ``geometry.py:353-431``):
-    no cull on that bounce, but deeper bounces remain cullable.  When a
-    bounce's denominator straddles zero over the tile (the kernel's
-    ``un == 0`` guard could fire), that bounce and all deeper ones are
-    left unculled for the tile.
+    bounded conservatively over a pixel box by affine interval
+    arithmetic (exact for affine forms; the quotient hull is valid
+    whenever the denominator is sign-definite over the box).  Intervals
+    are widened by an absolute + relative pad so f32 rounding inside the
+    kernel cannot move a pixel across the saturation threshold
+    (``_CULL_PAD_ABS/REL``; guarded by the randomized bitwise suites and
+    the ``DIFFERT2D_TPU_CULL_CHECK`` canary).  A Vertex bounce pins
+    ``q`` to the vertex (its ``contains`` is identically 1, reference
+    ``geometry.py:353-431``): no cull on that bounce, but deeper bounces
+    remain cullable.  When a bounce's denominator straddles zero over
+    the box (the kernel's ``un == 0`` guard could fire), that bounce and
+    all deeper ones are left unculled for the box.
+
+    **Occlusion (fully-shadowed) culling** (``occlusion=True`` and ``tx``
+    given): a candidate is additionally culled on a box when some
+    non-adjacent, non-vertex wall PROVABLY fully blocks one of its path
+    segments for every pixel in the box.  Exactness argument: the
+    blocked test's ``hit`` saturates at exactly 1 there (hard booleans,
+    or hard_sigmoid with both in-range factors strictly inside
+    saturation), so ``1 - blk == 0`` exactly and the soft-AND pins
+    ``valid`` to 0; the analytic partials are exact zeros too because an
+    f32 hard_sigmoid can only EQUAL 0.0/1.0 where its derivative rule
+    already selects 0 (the cancellation ``alpha*x + 3`` is quantized to
+    multiples of ulp(3), and ``z/6 < 1`` strictly for every
+    representable ``z < 6``).  Proof machinery: with segment endpoints
+    ``c = C/gamma``, ``d = D/delta`` (affine numerators/denominators
+    from the projective recursion) and wall ``(a, b)`` constant, the
+    Graphics-Gems parameters reduce to
+
+        t_wall = P_a / (gamma Q),   t_seg = delta P_b / Q,
+        Q  = av_y (Cx delta - Dx gamma) - av_x (Cy delta - Dy gamma),
+        P_b = av_x (ay gamma - Cy) - av_y (ax gamma - Cx)  (affine),
+
+    with every product bounded by CENTERED AFFINE ARITHMETIC
+    (:func:`_aa_mul` -- linear terms stay symbolic, only the nonlinear
+    residue is widened), and both parameters must land strictly inside
+    the saturated-1 band ``[band - 0.005, 1.005 - band]`` under the same
+    pads.  Walls in the kernel's adjacency skip set for that segment are
+    excluded, as are vertex and zero-length walls (their ``hit`` is
+    identically 0).
+
+    **Sub-box refinement** (``refine=R``): every proof runs on an R x R
+    grid of sub-boxes per tile and a candidate is skipped iff EVERY
+    sub-box is provably zero -- by the beam proof or the occlusion proof
+    independently per sub-box (different occluding walls may cover
+    different sub-boxes, which is how building corners get proven).
+    Smaller boxes also shrink the affine-arithmetic residues
+    quadratically.  The result is still one keep bit per (tile,
+    candidate).
 
     :return: ``{order: keep[T, C_order] bool}`` for each entry of
         ``cand_orders``.
@@ -800,31 +910,90 @@ def beam_keep_tables(
     lo_thr = -band
     hi_thr = 1.0 + band
 
-    def _ival(F):
-        """Interval of the affine form F = (F0, Fx, Fy) over the tiles."""
+    R = max(1, int(refine))
+    T = x0.shape[0]
+    # Sub-box corner stacks [R*R, T]: row-major R x R split of each tile.
+    fr = jnp.arange(R, dtype=jnp.float32) / R
+    gx0 = (x0[None, :] + (x1 - x0)[None, :] * fr[:, None])  # [R, T]
+    gx1 = gx0 + (x1 - x0)[None, :] / R
+    gy0 = (y0[None, :] + (y1 - y0)[None, :] * fr[:, None])
+    gy1 = gy0 + (y1 - y0)[None, :] / R
+    sub_x0 = jnp.repeat(gx0, R, axis=0)  # x varies slowly
+    sub_x1 = jnp.repeat(gx1, R, axis=0)
+    sub_y0 = jnp.tile(gy0, (R, 1))
+    sub_y1 = jnp.tile(gy1, (R, 1))
+
+    def _ival(F, bx0, bx1, by0, by1):
+        """Interval of the affine form F = (F0, Fx, Fy) over boxes."""
         F0, Fx, Fy = F
-        xa = Fx[None, :] * x0[:, None]
-        xb = Fx[None, :] * x1[:, None]
-        ya = Fy[None, :] * y0[:, None]
-        yb = Fy[None, :] * y1[:, None]
+        xa = Fx[None, :] * bx0[:, None]
+        xb = Fx[None, :] * bx1[:, None]
+        ya = Fy[None, :] * by0[:, None]
+        yb = Fy[None, :] * by1[:, None]
         flo = F0[None, :] + jnp.minimum(xa, xb) + jnp.minimum(ya, yb)
         fhi = F0[None, :] + jnp.maximum(xa, xb) + jnp.maximum(ya, yb)
         return flo, fhi
+
+    def _pad_inside(iv, lo_cut, hi_cut):
+        lo, hi = iv
+        pad = _CULL_PAD_ABS + _CULL_PAD_REL * jnp.maximum(
+            jnp.abs(lo), jnp.abs(hi)
+        )
+        return (lo - pad > lo_cut) & (hi + pad < hi_cut)
+
+    def _pad_outside(iv, lo_cut, hi_cut):
+        lo, hi = iv
+        pad = _CULL_PAD_ABS + _CULL_PAD_REL * jnp.maximum(
+            jnp.abs(lo), jnp.abs(hi)
+        )
+        return (hi + pad < lo_cut) | (lo - pad > hi_cut)
+
+    do_occl = occlusion and tx is not None
+    if do_occl:
+        # Occluder wall constants (patched endpoints, like the kernel's
+        # blocked loop); vertex and zero-length walls can never block
+        # (their ``hit`` is identically 0 via the den == 0 guard).
+        tx32 = jnp.asarray(tx, jnp.float32)
+        a_all = walls32[:, 0, :]
+        b_all = walls32[:, 1, :]
+        tvec = b_all - a_all
+        p_f = (
+            jnp.asarray(patch, jnp.float32)
+            if patch is not None
+            else jnp.float32(0.0)
+        )
+        aw_all = a_all - p_f * tvec
+        av_all = (b_all + p_f * tvec) - aw_all
+        wall_ok = (kind_i32 != KIND_VERTEX) & (
+            jnp.sum(tvec * tvec, axis=-1) > 0.0
+        )
+        # Saturated-1 band of the blocked hit: both Graphics-Gems
+        # parameters within [band - tol, 1 + tol - band], tol = 0.005
+        # (the _seg_intersect default baked into the kernels).
+        seg_tol = 0.005
+        lo_sat = band - seg_tol
+        hi_sat = 1.0 + seg_tol - band
 
     keep_by_order = {}
     for o in cand_orders:
         cand = np.asarray(groups[o])
         C = cand.shape[0]
-        T = x0.shape[0]
+        # Occlusion cost gate, per order group: the proof sweeps
+        # candidates x walls x segments x sub-boxes; at city-order-2
+        # scale (18K candidates x 136 walls) it costs more device time
+        # than the ~6% extra cull saves (measured 2026-08-19), so huge
+        # groups keep the cheap beam proof only.
+        occl_o = do_occl and C * (o + 1) * int(walls32.shape[0]) <= 400_000
         zeros_c = jnp.zeros((C,), jnp.float32)
         ones_c = jnp.ones((C,), jnp.float32)
-        # q = (Vx, Vy) / w as affine coefficient triples (const, x, y),
-        # one [C] array per coefficient; starts at the pixel itself.
+        # ---- Phase 1 (box-independent): affine coefficient triples of
+        # every path point plus per-bounce (num, den, u) forms.
         vx = (zeros_c, ones_c, zeros_c)
         vy = (zeros_c, zeros_c, ones_c)
         w = (ones_c, zeros_c, zeros_c)
-        culled = jnp.zeros((T, C), bool)
-        alive = jnp.ones((T, C), bool)
+        forms = [None] * (o + 2)
+        forms[o + 1] = (vx, vy, w)
+        bounce_tests = []  # (num_aff, den_aff, u_aff, is_vtx[C], dd_ok[C]) per j
         imgs = img_chains[o]  # [C, o, 2]
         for j in range(o - 1, -1, -1):
             li = jnp.asarray(cand[:, j], dtype=jnp.int32)
@@ -849,46 +1018,187 @@ def beam_keep_tables(
             )
             num = tuple(k1 * u[t] + c_c * av[t] for t in range(3))
             den = tuple(dd * u[t] for t in range(3))
-            nlo, nhi = _ival(num)
-            dlo, dhi = _ival(den)
-            sign_def = ((dlo > 0.0) | (dhi < 0.0)) & (dd > 0.0)[None, :]
-            sa = jnp.where(dlo == 0.0, 1.0, dlo)
-            sb = jnp.where(dhi == 0.0, 1.0, dhi)
-            q = jnp.stack([nlo / sa, nlo / sb, nhi / sa, nhi / sb])
-            tmin = jnp.min(q, axis=0)
-            tmax = jnp.max(q, axis=0)
-            pad = 0.05 + 0.01 * jnp.maximum(jnp.abs(tmin), jnp.abs(tmax))
-            out_of_band = (tmax + pad < lo_thr) | (tmin - pad > hi_thr)
-            is_vtx = (kind_i32[li] == KIND_VERTEX)[None, :]
-            culled = culled | (alive & sign_def & out_of_band & ~is_vtx)
-            if j > 0:
-                # Prepare the next (deeper) bounce's q.  Vertex: pinned
-                # to the wall's A point exactly (guard-free).  Wall/RIS:
-                # the projective step above -- valid per tile only where
-                # u is sign-definite (alive).
-                is_vtx_c = kind_i32[li] == KIND_VERTEX
+            is_vtx_c = kind_i32[li] == KIND_VERTEX
+            bounce_tests.append((num, den, is_vtx_c, dd > 0.0))
+            # Next (deeper) bounce's q (path point j+1).  Vertex: pinned
+            # to the wall's A point exactly (guard-free).  Wall/RIS: the
+            # projective step -- valid per box only where u is
+            # sign-definite (checked per sub-box in phase 2).
+            new_vx = tuple(
+                jnp.where(
+                    is_vtx_c,
+                    a_pt[:, 0] * w[t],
+                    img[:, 0] * u[t] + c_c * (vx[t] - w[t] * img[:, 0]),
+                )
+                for t in range(3)
+            )
+            new_vy = tuple(
+                jnp.where(
+                    is_vtx_c,
+                    a_pt[:, 1] * w[t],
+                    img[:, 1] * u[t] + c_c * (vy[t] - w[t] * img[:, 1]),
+                )
+                for t in range(3)
+            )
+            new_w = tuple(
+                jnp.where(is_vtx_c, w[t], u[t]) for t in range(3)
+            )
+            vx, vy, w = new_vx, new_vy, new_w
+            forms[j + 1] = (vx, vy, w)
+        if occl_o:
+            forms[0] = (
+                (jnp.full((C,), tx32[0]), zeros_c, zeros_c),
+                (jnp.full((C,), tx32[1]), zeros_c, zeros_c),
+                (ones_c, zeros_c, zeros_c),
+            )
+            cand_j = jnp.asarray(cand, dtype=jnp.int32)  # [C, o]
+            minus1 = jnp.full((C,), -1, jnp.int32)
+            # Walls in unrolled chunks of WC per scan step (cuts the
+            # sequential step count; padded rows carry wall_ok=False).
+            WC = 4
+            W_all = int(walls32.shape[0])
+            W_pad = -(-W_all // WC) * WC
+
+            def _padw(arr, fill):
+                return jnp.concatenate(
+                    [arr, jnp.full((W_pad - W_all,), fill, arr.dtype)]
+                ).reshape(W_pad // WC, WC)
+
+            wall_xs = (
+                _padw(aw_all[:, 0], 0.0),
+                _padw(aw_all[:, 1], 0.0),
+                _padw(av_all[:, 0], 1.0),
+                _padw(av_all[:, 1], 0.0),
+                _padw(wall_ok, False),
+                _padw(
+                    jnp.arange(W_all, dtype=jnp.int32), jnp.int32(-2)
+                ),
+            )
+
+        # ---- Phase 2: per sub-box, prove the candidate contributes
+        # exact zeros (beam OR occlusion proof); AND-reduce to the tile.
+        # gb sub-boxes are processed per scan step, vectorized along the
+        # box axis (bounded element budget keeps the [gb*T, C]
+        # intermediates HBM-friendly at city-order-2 candidate counts
+        # while small tables run in one fused step).
+        gb = 1
+        for div in range(R * R, 0, -1):
+            if (R * R) % div == 0 and div * T * C <= 2_000_000:
+                gb = div
+                break
+        n_steps = (R * R) // gb
+        box_stacks = tuple(
+            s.reshape(n_steps, gb * T) for s in (sub_x0, sub_x1, sub_y0, sub_y1)
+        )
+
+        def subbox_zero(carry, boxes):
+            zero_acc = carry
+            bx0, bx1, by0, by1 = boxes
+            B = gb * T
+
+            def iv(F):
+                return _ival(F, bx0, bx1, by0, by1)
+
+            # Beam (bounce out-of-band) proof, per sub-box.
+            culled = jnp.zeros((B, C), bool)
+            alive = jnp.ones((B, C), bool)
+            point_valid = [None] * (o + 2)
+            point_valid[o + 1] = alive
+            for jj, (num, den, is_vtx_c, dd_ok) in enumerate(bounce_tests):
+                j = o - 1 - jj
+                nlo, nhi = iv(num)
+                dlo, dhi = iv(den)
+                sign_def = _sign_def((dlo, dhi)) & dd_ok[None, :]
+                t_iv = _idiv((nlo, nhi), (dlo, dhi))
+                out_of_band = _pad_outside(t_iv, lo_thr, hi_thr)
+                is_vtx = is_vtx_c[None, :]
+                culled = culled | (alive & sign_def & out_of_band & ~is_vtx)
                 alive = alive & (sign_def | is_vtx)
-                new_vx = tuple(
-                    jnp.where(
-                        is_vtx_c,
-                        a_pt[:, 0] * w[t],
-                        img[:, 0] * u[t] + c_c * (vx[t] - w[t] * img[:, 0]),
+                point_valid[j + 1] = alive
+
+            if occl_o:
+                point_valid[0] = jnp.ones((B, C), bool)
+                cx_t = 0.5 * (bx0 + bx1)
+                cy_t = 0.5 * (by0 + by1)
+                hx_t = 0.5 * (bx1 - bx0)
+                hy_t = 0.5 * (by1 - by0)
+
+                def to_aa(F):
+                    F0, Fx, Fy = F
+                    c = (
+                        F0[None, :]
+                        + Fx[None, :] * cx_t[:, None]
+                        + Fy[None, :] * cy_t[:, None]
                     )
-                    for t in range(3)
-                )
-                new_vy = tuple(
-                    jnp.where(
-                        is_vtx_c,
-                        a_pt[:, 1] * w[t],
-                        img[:, 1] * u[t] + c_c * (vy[t] - w[t] * img[:, 1]),
+                    return (
+                        c,
+                        jnp.broadcast_to(
+                            Fx[None, :] * hx_t[:, None], c.shape
+                        ),
+                        jnp.broadcast_to(
+                            Fy[None, :] * hy_t[:, None], c.shape
+                        ),
+                        jnp.zeros_like(c),
                     )
-                    for t in range(3)
-                )
-                new_w = tuple(
-                    jnp.where(is_vtx_c, w[t], u[t]) for t in range(3)
-                )
-                vx, vy, w = new_vx, new_vy, new_w
-        keep_by_order[o] = ~culled
+
+                occl = jnp.zeros((B, C), bool)
+                for s in range(o + 1):
+                    vmask = point_valid[s] & point_valid[s + 1]
+                    Cx, Cy, Ga = (to_aa(F) for F in forms[s])
+                    Dx, Dy, De = (to_aa(F) for F in forms[s + 1])
+                    Gx = _aa_lincomb(
+                        1.0, _aa_mul(Cx, De), -1.0, _aa_mul(Dx, Ga)
+                    )
+                    Gy = _aa_lincomb(
+                        1.0, _aa_mul(Cy, De), -1.0, _aa_mul(Dy, Ga)
+                    )
+                    g_ok = _sign_def(_aa_ival(Ga))
+                    adj1 = cand_j[:, s - 1] if s >= 1 else minus1
+                    adj2 = cand_j[:, s] if s <= o - 1 else minus1
+
+                    def wall_step(blocked, xs, *, _Gx=Gx, _Gy=Gy, _Cx=Cx,
+                                  _Cy=Cy, _Ga=Ga, _De=De, _g_ok=g_ok,
+                                  _vmask=vmask, _adj1=adj1, _adj2=adj2):
+                        for wb in range(WC):
+                            ax_, ay_, avx_, avy_, ok_, widx = (
+                                x[wb] for x in xs
+                            )
+                            A1 = _aa_lincomb(ax_, _Ga, -1.0, _Cx)
+                            A2 = _aa_lincomb(ay_, _Ga, -1.0, _Cy)
+                            Q = _aa_lincomb(avy_, _Gx, -avx_, _Gy)
+                            i_q = _aa_ival(Q)
+                            q_ok = _sign_def(i_q)
+                            Pb = _aa_lincomb(avx_, A2, -avy_, A1)
+                            i_tb = _idiv(_aa_ival(_aa_mul(_De, Pb)), i_q)
+                            num_a = _aa_lincomb(
+                                1.0, _aa_mul(_Gy, A1), -1.0, _aa_mul(_Gx, A2)
+                            )
+                            i_da = _aa_ival(_aa_mul(_Ga, Q))
+                            da_ok = _sign_def(i_da)
+                            i_ta = _idiv(_aa_ival(num_a), i_da)
+                            adj = (_adj1 == widx) | (_adj2 == widx)
+                            prove = (
+                                _pad_inside(i_ta, lo_sat, hi_sat)
+                                & _pad_inside(i_tb, lo_sat, hi_sat)
+                                & q_ok
+                                & _g_ok
+                                & da_ok
+                                & _vmask
+                                & ok_
+                                & ~adj[None, :]
+                            )
+                            blocked = blocked | prove
+                        return blocked, None
+
+                    occl, _ = jax.lax.scan(wall_step, occl, wall_xs)
+                culled = culled | occl
+
+            return zero_acc & culled.reshape(gb, T, C).all(axis=0), None
+
+        zero, _ = jax.lax.scan(
+            subbox_zero, jnp.ones((T, C), bool), box_stacks
+        )
+        keep_by_order[o] = ~zero
     return keep_by_order
 
 
@@ -1646,6 +1956,16 @@ def build_power_map_kernel_looped(
                 pyt.min(axis=1), pyt.max(axis=1),
                 approx=approx,
                 alpha=scalars[0],
+                tx=tx32,
+                patch=scalars[2],
+                # Occlusion proofs default OFF: measured on TPU v5e
+                # (2026-08-19) the affine-arithmetic table sweep costs
+                # more per map (~3 ms at city order-1) than the ~26%
+                # extra candidate cull saves once shadow-wall lists cut
+                # the per-candidate blocked work; opt in for A/B.
+                occlusion=os.environ.get(
+                    "DIFFERT2D_TPU_CULL_OCCLUSION", "0"
+                ) == "1",
             )
             for o in cand_orders:
                 keep = keep_by_order[o]
@@ -2000,7 +2320,47 @@ def pallas_power_map(
         run, grad, value_and_grad, (alpha, tol, patch, r_coef, height)
     )
     tx_xys = tuple(tx.xy for tx in scene.transmitters.values())
-    return entry(X, Y, tx_xys, arrays.walls, arrays.kind, arrays.phi)
+    out = entry(X, Y, tx_xys, arrays.walls, arrays.kind, arrays.phi)
+    if run._culled and os.environ.get("DIFFERT2D_TPU_CULL_CHECK") == "1":
+        # Runtime canary (debug mode): recompute the map UNCULLED and
+        # fail loudly unless every output bit matches -- the empirical
+        # guard behind the interval pads (_CULL_PAD_ABS/REL).  Costs a
+        # full second map per call; enable in tests / one bench run.
+        prev = os.environ.get("DIFFERT2D_TPU_CULL")
+        os.environ["DIFFERT2D_TPU_CULL"] = "0"
+        try:
+            run_ref = get_fused_run(
+                arrays,
+                groups,
+                n_tx=len(scene.transmitters),
+                approx=approx,
+                sigmoid=sigmoid,
+                interpret=interpret,
+                mode="value_and_grad" if want_grad else "value",
+            )
+        finally:
+            if prev is None:
+                os.environ.pop("DIFFERT2D_TPU_CULL", None)
+            else:
+                os.environ["DIFFERT2D_TPU_CULL"] = prev
+        entry_ref = _get_entry(
+            run_ref, grad, value_and_grad,
+            (alpha, tol, patch, r_coef, height),
+        )
+        ref = entry_ref(X, Y, tx_xys, arrays.walls, arrays.kind, arrays.phi)
+        got_l = out if isinstance(out, tuple) else (out,)
+        ref_l = ref if isinstance(ref, tuple) else (ref,)
+        for g, r in zip(got_l, ref_l):
+            if not np.array_equal(np.asarray(g), np.asarray(r)):
+                n_bad = int(np.sum(np.asarray(g) != np.asarray(r)))
+                msg = (
+                    "DIFFERT2D_TPU_CULL_CHECK: culled map differs from"
+                    f" unculled at {n_bad} elements -- the culling pad"
+                    " is unsound for this geometry; report with the"
+                    " scene and disable via DIFFERT2D_TPU_CULL=0"
+                )
+                raise RuntimeError(msg)
+    return out
 
 
 def _opt_solver_map(

@@ -1009,3 +1009,125 @@ def test_cull_random_scene_bitwise(seed):
             )
         for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
             assert np.array_equal(a, b), f"mode={mode} seed={seed}"
+
+
+# ---------------------------------------------------------------------------
+# Occlusion (fully-shadowed) candidate culling + the runtime canary
+
+
+def _occl_scene_args():
+    """TX left, a floor wall (the reflection candidate), and a tall
+    blocker between TX and the right half of the map: every path via
+    the floor into a far-right tile is provably fully blocked."""
+    from differt2d_tpu.scene import Scene
+    from differt2d_tpu.geometry import Wall
+
+    scene = Scene.from_walls_array(
+        jnp.asarray(
+            [
+                [[0.0, 0.0], [1.0, 0.0]],   # floor (candidate bounce)
+                [[0.3, -0.2], [0.3, 1.2]],  # blocker
+            ],
+            jnp.float32,
+        )
+    )
+    from differt2d_tpu.geometry import Point
+
+    return scene.with_transmitters(tx=Point(xy=jnp.array([0.1, 0.5])))
+
+
+def test_occlusion_tables_prove_shadow():
+    """beam_keep_tables culls a candidate whose every path segment is
+    provably blocked by one wall over the tile (the occlusion proof),
+    and keeps it when occlusion is disabled."""
+    from differt2d_tpu.ops.pallas_kernels import beam_keep_tables
+    from differt2d_tpu.rt import path_candidate_matrices
+    from differt2d_tpu.tracer import scene_arrays
+
+    scene = _occl_scene_args()
+    arrays = scene_arrays(scene)
+    groups = {1: np.asarray([[0]], np.int32)}  # floor reflection only
+    walls32 = jnp.asarray(arrays.walls, jnp.float32)
+    a, b = walls32[:, 0, :], walls32[:, 1, :]
+    t = b - a
+    nr = jnp.stack([t[:, 1], -t[:, 0]], -1)
+    nl = jnp.sqrt((nr * nr).sum(-1, keepdims=True))
+    normals32 = nr / jnp.where(nl == 0, 1, nl)
+    tx = scene.transmitters["tx"].xy
+    wn, wa = normals32[0], walls32[0, 0]
+    img = tx - 2 * jnp.dot(tx - wa, wn) * wn
+    chains = {1: img[None, None, :]}
+    kw = dict(approx=True, alpha=jnp.float32(100.0))
+    box = (
+        jnp.asarray([0.8], jnp.float32), jnp.asarray([0.9], jnp.float32),
+        jnp.asarray([0.4], jnp.float32), jnp.asarray([0.5], jnp.float32),
+    )
+    keep = beam_keep_tables(
+        walls32, normals32, arrays.kind, groups, [1], chains, *box,
+        tx=tx, patch=jnp.float32(0.0), **kw,
+    )[1]
+    assert not bool(keep[0, 0]), "occlusion proof must cull"
+    keep_no = beam_keep_tables(
+        walls32, normals32, arrays.kind, groups, [1], chains, *box,
+        tx=tx, patch=jnp.float32(0.0), occlusion=False, **kw,
+    )[1]
+    assert bool(keep_no[0, 0]), "beam proof alone must keep (lit beam)"
+
+
+@pytest.mark.parametrize("mode", ["value", "value_and_grad"])
+def test_occlusion_cull_bitwise(mode):
+    """Culled vs unculled looped kernel stays bit-identical on a scene
+    where the OCCLUSION proof fires (not just the beam proof)."""
+    from differt2d_tpu.ops.pallas_kernels import build_power_map_kernel_looped
+    from differt2d_tpu.rt import path_candidate_matrices
+
+    scene = _occl_scene_args()
+    arrays, pix, scal = _looped_args(scene, n=64)
+    groups = path_candidate_matrices(arrays.num_objects, 0, 2)
+    tx = scene.transmitters["tx"].xy
+    outs = []
+    for cull in (False, True):
+        run = build_power_map_kernel_looped(
+            arrays.num_objects, groups, approx=True, interpret=True,
+            block_rows=8, cull=cull, mode=mode,
+        )
+        outs.append(
+            jax.tree.map(
+                np.asarray,
+                run(pix, tx, arrays.walls, arrays.kind, arrays.phi, scal),
+            )
+        )
+    for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
+        assert np.array_equal(a, b)
+
+
+def test_cull_check_canary_passes_and_detects(monkeypatch):
+    """DIFFERT2D_TPU_CULL_CHECK=1 re-runs the map unculled and compares
+    bitwise: passes on sound tables, raises on poisoned tables."""
+    import differt2d_tpu.ops.pallas_kernels as K
+
+    scene = Scene.random_uniform_scene(n_walls=17, key=jax.random.PRNGKey(7))
+    X, Y = jnp.meshgrid(
+        jnp.linspace(0.02, 0.98, 64), jnp.linspace(0.02, 0.98, 64)
+    )
+    monkeypatch.setenv("DIFFERT2D_TPU_CULL_CHECK", "1")
+    kw = dict(max_order=1, approx=True, interpret=True)
+    Z = pallas_power_map(scene, X, Y, **kw)
+    assert np.all(np.isfinite(np.asarray(Z)))
+
+    # Poison the tables: drop one candidate that the beam proof keeps.
+    real = K.beam_keep_tables
+
+    def poisoned(*args, **kwargs):
+        # Maximally unsound: cull every candidate everywhere.
+        keep = real(*args, **kwargs)
+        return {o: jnp.zeros_like(k) for o, k in keep.items()}
+
+    monkeypatch.setattr(K, "beam_keep_tables", poisoned)
+    K._KERNEL_CACHE.clear()
+    K._ENTRY_CACHE.clear()
+    with pytest.raises(RuntimeError, match="CULL_CHECK"):
+        pallas_power_map(scene, X, Y, **kw)
+    monkeypatch.setattr(K, "beam_keep_tables", real)
+    K._KERNEL_CACHE.clear()
+    K._ENTRY_CACHE.clear()

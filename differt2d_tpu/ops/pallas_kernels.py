@@ -54,6 +54,10 @@ KIND_VERTEX = 2
 _CULL_PAD_ABS = 1e-3
 _CULL_PAD_REL = 1e-3
 
+# Walls per fori step in the shadow-listed blocked loops: unrolling a
+# few folds per step restores the cross-wall ILP the static loop had.
+_SHADOW_CHUNK = 4
+
 
 def _soft(x, alpha, sigmoid: bool):
     """activation(x) = f(alpha * x); reference logic.py:220-255."""
@@ -1202,6 +1206,119 @@ def beam_keep_tables(
     return keep_by_order
 
 
+def shadow_wall_lists(
+    walls32, kind, tx, patch, alpha, approx, x0, x1, y0, y1
+):
+    """Per-wall / per-tile occluder index lists for the blocked test.
+
+    For a candidate whose first wall is ``w0``, the first path segment
+    runs TX -> b1 with b1 on the (band-dilated) wall ``w0`` wherever the
+    candidate's ``contains`` factor is nonzero -- so any wall whose
+    (dilated) bounding box misses bbox(TX, dilated w0) has
+    ``hit == 0`` exactly there, and at pixels where b1 leaves the
+    dilated wall, ``contains == 0`` saturates with exactly-zero
+    gradients, making the candidate's (val, gx, gy) independent of
+    ``blk`` (min-select ties propagate zeros).  Skipping off-list walls
+    is therefore bit-identical.  The same argument covers the LAST
+    segment b_last -> pixel against bbox(tile, dilated w_last), and the
+    LOS segment TX -> pixel against bbox(TX, tile).
+
+    Dilations: the bounce locus extends ``(3/alpha + pad)`` wall lengths
+    past each endpoint (the ``contains`` saturation band); occluders
+    extend ``(0.005 + 3/alpha + pad)`` patched lengths (the blocked
+    test's tol + band); hulls additionally grow by the same factor times
+    their diagonal (the ``t_seg`` in-range band scales with segment
+    length) plus an absolute f32 margin.
+
+    :return: ``(l0dat[W*W], l0cnt[W], lastdat[T, W, W],
+        lastcnt[T, 1, W], losdat[T, 1, W], loscnt[T, 1, 1])`` int32
+        index lists (survivors first) + counts.
+    """
+    W = int(walls32.shape[0])
+    T = int(x0.shape[0])
+    a = walls32[:, 0, :]
+    b = walls32[:, 1, :]
+    d = b - a
+    if approx:
+        band = 3.0 / jnp.maximum(alpha.astype(jnp.float32), 1e-6)
+    else:
+        band = jnp.float32(0.0)
+    pad_t = 0.01
+    abs_pad = 2e-3
+    ext = 0.005 + band + pad_t
+
+    # Bounce-locus bboxes (band-dilated candidate walls).
+    la = a - (band + pad_t) * d
+    lb = b + (band + pad_t) * d
+    llo = jnp.minimum(la, lb)
+    lhi = jnp.maximum(la, lb)
+
+    # Occluder bboxes (patched + tol/band-dilated walls).
+    p_f = jnp.asarray(patch, jnp.float32)
+    pa = a - p_f * d
+    pb = b + p_f * d
+    dp = pb - pa
+    oa = pa - ext * dp
+    ob = pb + ext * dp
+    olo = jnp.minimum(oa, ob) - abs_pad
+    ohi = jnp.maximum(oa, ob) + abs_pad
+    occ_ok = (kind.astype(jnp.int32) != KIND_VERTEX) & (
+        jnp.sum(d * d, axis=-1) > 0.0
+    )
+
+    def lists_from_hulls(hlo, hhi, self_idx=None):
+        """Overlap masks -> survivor-first index lists + counts.
+
+        ``hlo/hhi``: [..., 2] hull corners; returns ([..., W] int32
+        permutation, [...] int32 count).
+        """
+        diag = jnp.sqrt(jnp.sum((hhi - hlo) ** 2, axis=-1, keepdims=True))
+        grow = ext * diag + abs_pad
+        glo = hlo - grow
+        ghi = hhi + grow
+        overlap = ~(
+            (ohi[:, 0] < glo[..., 0][..., None])
+            | (olo[:, 0] > ghi[..., 0][..., None])
+            | (ohi[:, 1] < glo[..., 1][..., None])
+            | (olo[:, 1] > ghi[..., 1][..., None])
+        )
+        mask = overlap & occ_ok
+        if self_idx is not None:
+            mask = mask & (jnp.arange(W) != self_idx[..., None])
+        prm = jnp.argsort(~mask, axis=-1, stable=True).astype(jnp.int32)
+        cnt = jnp.sum(mask, axis=-1).astype(jnp.int32)
+        return prm, cnt
+
+    tx32 = jnp.asarray(tx, jnp.float32)
+    # Segment 0: hull(TX, dilated w0) per first wall.
+    h0lo = jnp.minimum(tx32[None, :], llo)
+    h0hi = jnp.maximum(tx32[None, :], lhi)
+    l0dat, l0cnt = lists_from_hulls(h0lo, h0hi, jnp.arange(W))
+
+    # Last segment: hull(tile, dilated w_last) per (tile, wall).
+    tlo = jnp.stack([x0, y0], axis=-1)  # [T, 2]
+    thi = jnp.stack([x1, y1], axis=-1)
+    hllo = jnp.minimum(tlo[:, None, :], llo[None, :, :])  # [T, W, 2]
+    hlhi = jnp.maximum(thi[:, None, :], lhi[None, :, :])
+    ldat, lcnt = lists_from_hulls(
+        hllo, hlhi, jnp.broadcast_to(jnp.arange(W)[None, :], (T, W))
+    )
+
+    # LOS: hull(TX, tile) per tile.
+    hslo = jnp.minimum(tx32[None, :], tlo)
+    hshi = jnp.maximum(tx32[None, :], thi)
+    sdat, scnt = lists_from_hulls(hslo, hshi)
+
+    return (
+        l0dat.reshape(-1),
+        l0cnt,
+        ldat,
+        lcnt[:, None, :],
+        sdat[:, None, :],
+        scnt[:, None, None],
+    )
+
+
 def build_power_map_kernel_looped(
     num_walls: int,
     groups: dict[int, np.ndarray],
@@ -1215,6 +1332,7 @@ def build_power_map_kernel_looped(
     cand_block: int = 1,
     hoist_walls: bool = False,
     cull: bool = False,
+    shadow: bool = False,
 ):
     """Looped variant of :func:`build_power_map_kernel` for large
     candidate sets.
@@ -1237,7 +1355,7 @@ def build_power_map_kernel_looped(
     if mode not in ("value", "value_and_grad"):
         msg = f"unknown kernel mode {mode!r}"
         raise ValueError(msg)
-    if cull and approx and sigmoid:
+    if (cull or shadow) and approx and sigmoid:
         msg = (
             "tile-beam culling requires exact-zero saturation (hard"
             " logic or hard_sigmoid); plain sigmoid tails never reach 0"
@@ -1264,11 +1382,20 @@ def build_power_map_kernel_looped(
             cnt_ref_by_order = {
                 o: pc[2 * i + 1] for i, o in enumerate(cand_orders)
             }
-            aux_ref, px_ref, py_ref = rest[4 * k : 4 * k + 3]
-            out_refs = rest[4 * k + 3 :]
+            rest = rest[4 * k :]
         else:
-            aux_ref, px_ref, py_ref = rest[2 * k : 2 * k + 3]
-            out_refs = rest[2 * k + 3 :]
+            rest = rest[2 * k :]
+        if shadow:
+            # Shadow-wall lists (see run()): per-first-wall, per-(tile,
+            # last-wall) and per-tile LOS occluder index lists + counts.
+            (
+                l0dat_ref, l0cnt_ref,
+                lastdat_ref, lastcnt_ref,
+                losdat_ref, loscnt_ref,
+            ) = rest[:6]
+            rest = rest[6:]
+        aux_ref, px_ref, py_ref = rest[:3]
+        out_refs = rest[3:]
 
         def cand_loop(order, count, carry, step):
             """``carry = step(c, carry)`` over this order group.
@@ -1577,7 +1704,15 @@ def build_power_map_kernel_looped(
 
                 # Blocked (running-max gradient with want_grad);
                 # adjacency masked at runtime (masked hits carry zero
-                # gradient, matching the XLA where-select).
+                # gradient, matching the XLA where-select).  With
+                # ``shadow``, the first and last segments loop over the
+                # precomputed occluder lists (per first-wall and per
+                # (tile, last-wall)) instead of all W walls: walls off
+                # the list have hit == 0 exactly wherever the bounce is
+                # on its (band-dilated) wall, and pixels where it is not
+                # have ``contains == 0`` saturated with exactly-zero
+                # gradients, so (val, gx, gy) are bit-identical either
+                # way (see run() for the geometric argument).
                 if soft_mode:
                     blk = jnp.zeros_like(px)
                     gblk_x, gblk_y = zeros, zeros
@@ -1585,38 +1720,134 @@ def build_power_map_kernel_looped(
                     blk = jnp.zeros_like(px, dtype=jnp.bool_)
                 minus_one = jnp.int32(-1)
                 seg_idx = [minus_one] + [i for i in idx] + [minus_one]
+
+                def blocked_step(w, s, carry, valid=None):
+                    """One wall's hit folded into the carry (traced w);
+                    ``valid=False`` masks the fold to an exact-zero hit
+                    (bitwise-neutral: zero hits with zero grads never
+                    move the running max or its tie-split grads)."""
+                    return _blocked_fold(
+                        _read_patched(w), w, s, carry, valid
+                    )
+
+                def blocked_step_hoisted(w, s, carry):
+                    """Static-index variant (hoisted wall reads)."""
+                    return _blocked_fold(read_patched(w), w, s, carry)
+
+                def _blocked_fold(wall_vals, w, s, carry, valid=None):
+                    wa_x, wa_y, wb_x, wb_y = wall_vals
+                    ignore = (seg_idx[s] == w) | (seg_idx[s + 1] == w)
+                    if valid is not None:
+                        ignore = ignore | jnp.logical_not(valid)
+                    if soft_mode and want_grad:
+                        b, gx_, gy_ = carry
+                        hit, dhc, dhd = _seg_intersect_vag(
+                            wa_x, wa_y, wb_x, wb_y,
+                            path_x[s], path_y[s],
+                            path_x[s + 1], path_y[s + 1],
+                            soft_mode, alpha,
+                        )
+                        hit = jnp.where(ignore, 0.0, hit)
+                        ghx0, ghy0 = contract(s, dhc[0], dhc[1])
+                        ghx1, ghy1 = contract(s + 1, dhd[0], dhd[1])
+                        ghx = jnp.where(ignore, 0.0, ghx0 + ghx1)
+                        ghy = jnp.where(ignore, 0.0, ghy0 + ghy1)
+                        gx_ = _max_grad_sel(b, hit, gx_, ghx)
+                        gy_ = _max_grad_sel(b, hit, gy_, ghy)
+                        return (jnp.maximum(b, hit), gx_, gy_)
+                    b = carry[0]
+                    hit = _seg_intersect(
+                        wa_x, wa_y, wb_x, wb_y,
+                        path_x[s], path_y[s],
+                        path_x[s + 1], path_y[s + 1],
+                        soft_mode, alpha,
+                    )
+                    if soft_mode:
+                        hit = jnp.where(ignore, 0.0, hit)
+                        return (jnp.maximum(b, hit),)
+                    hit = jnp.where(ignore, False, hit)
+                    return (b | hit,)
+
+                carry = (
+                    (blk, gblk_x, gblk_y)
+                    if soft_mode and want_grad
+                    else (blk,)
+                )
+                # First/last segments run a chunk-unrolled fori_loop
+                # over the shadow occluder list (or 0..W-1 when lists
+                # are off) -- the SAME loop structure either way,
+                # because Mosaic/XLA contract float ops differently in
+                # loop bodies than in straight-line code (measured
+                # ~1-ulp drift), and the bit-identity contract compares
+                # the two kernels.  _SHADOW_CHUNK walls per step keep
+                # near-static ILP; past-count lanes fold masked exact
+                # zeros (bitwise-neutral).  Middle segments stay
+                # statically unrolled in both.
+                def listed_loop(s, n_w, get, carry):
+                    CH = _SHADOW_CHUNK
+
+                    def body(kk, a, _s=s, _g=get, _n=n_w):
+                        for b_i in range(CH):
+                            k2 = kk * CH + b_i
+                            a = blocked_step(
+                                _g(
+                                    jnp.minimum(
+                                        k2, jnp.maximum(_n - 1, 0)
+                                    )
+                                ),
+                                _s,
+                                a,
+                                valid=k2 < _n,
+                            )
+                        return a
+
+                    steps = (
+                        (n_w + CH - 1) // CH
+                        if isinstance(n_w, int)
+                        else jax.lax.div(
+                            n_w + CH - 1, jnp.int32(CH)
+                        )
+                    )
+                    return jax.lax.fori_loop(0, steps, body, carry)
+
                 for s in range(order + 1):
-                    for w in range(W):
-                        wa_x, wa_y, wb_x, wb_y = read_patched(w)
-                        ignore = (seg_idx[s] == w) | (seg_idx[s + 1] == w)
-                        if soft_mode and want_grad:
-                            hit, dhc, dhd = _seg_intersect_vag(
-                                wa_x, wa_y, wb_x, wb_y,
-                                path_x[s], path_y[s],
-                                path_x[s + 1], path_y[s + 1],
-                                soft_mode, alpha,
-                            )
-                            hit = jnp.where(ignore, 0.0, hit)
-                            ghx0, ghy0 = contract(s, dhc[0], dhc[1])
-                            ghx1, ghy1 = contract(s + 1, dhd[0], dhd[1])
-                            ghx = jnp.where(ignore, 0.0, ghx0 + ghx1)
-                            ghy = jnp.where(ignore, 0.0, ghy0 + ghy1)
-                            gblk_x = _max_grad_sel(blk, hit, gblk_x, ghx)
-                            gblk_y = _max_grad_sel(blk, hit, gblk_y, ghy)
-                            blk = jnp.maximum(blk, hit)
+                    if s == 0:
+                        i0 = idx[0]
+                        if shadow:
+                            n_w = l0cnt_ref[i0]
+
+                            def get0(kk, _i0=i0):
+                                return l0dat_ref[_i0 * W + kk]
+
                         else:
-                            hit = _seg_intersect(
-                                wa_x, wa_y, wb_x, wb_y,
-                                path_x[s], path_y[s],
-                                path_x[s + 1], path_y[s + 1],
-                                soft_mode, alpha,
-                            )
-                            if soft_mode:
-                                hit = jnp.where(ignore, 0.0, hit)
-                                blk = jnp.maximum(blk, hit)
-                            else:
-                                hit = jnp.where(ignore, False, hit)
-                                blk = blk | hit
+                            n_w = W
+
+                            def get0(kk):
+                                return kk
+
+                        carry = listed_loop(s, n_w, get0, carry)
+                    elif s == order:
+                        il = idx[order - 1]
+                        if shadow:
+                            n_w = lastcnt_ref[0, 0, il]
+
+                            def getl(kk, _il=il):
+                                return lastdat_ref[0, _il, kk]
+
+                        else:
+                            n_w = W
+
+                            def getl(kk):
+                                return kk
+
+                        carry = listed_loop(s, n_w, getl, carry)
+                    else:
+                        for w in range(W):
+                            carry = blocked_step_hoisted(w, s, carry)
+                if soft_mode and want_grad:
+                    blk, gblk_x, gblk_y = carry
+                else:
+                    (blk,) = carry
 
                 # Validity (arg-min gradient selection with want_grad).
                 if soft_mode:
@@ -1691,24 +1922,85 @@ def build_power_map_kernel_looped(
                 gblk_x, gblk_y = zeros, zeros
             else:
                 blk = jnp.zeros_like(px, dtype=jnp.bool_)
-            for w in range(W):
-                wa_x, wa_y, wb_x, wb_y = read_patched(w)
+
+            def los_fold(wall_vals, carry, valid=None):
+                wa_x, wa_y, wb_x, wb_y = wall_vals
                 if soft_mode and want_grad:
+                    b, gx_, gy_ = carry
                     hit, _dhc, dhd = _seg_intersect_vag(
                         wa_x, wa_y, wb_x, wb_y,
                         txx_t, txy_t, px, py,
                         soft_mode, alpha,
                     )
-                    gblk_x = _max_grad_sel(blk, hit, gblk_x, dhd[0])
-                    gblk_y = _max_grad_sel(blk, hit, gblk_y, dhd[1])
-                    blk = jnp.maximum(blk, hit)
-                else:
-                    hit = _seg_intersect(
-                        wa_x, wa_y, wb_x, wb_y,
-                        txx_t, txy_t, px, py,
-                        soft_mode, alpha,
+                    ghx, ghy = dhd
+                    if valid is not None:
+                        # Masked chunk lanes fold exact zeros (bitwise-
+                        # neutral in the running max and its tie grads).
+                        hit = jnp.where(valid, hit, 0.0)
+                        ghx = jnp.where(valid, ghx, 0.0)
+                        ghy = jnp.where(valid, ghy, 0.0)
+                    gx_ = _max_grad_sel(b, hit, gx_, ghx)
+                    gy_ = _max_grad_sel(b, hit, gy_, ghy)
+                    return (jnp.maximum(b, hit), gx_, gy_)
+                b = carry[0]
+                hit = _seg_intersect(
+                    wa_x, wa_y, wb_x, wb_y,
+                    txx_t, txy_t, px, py,
+                    soft_mode, alpha,
+                )
+                if valid is not None:
+                    hit = jnp.where(
+                        valid, hit, 0.0 if soft_mode else False
                     )
-                    blk = jnp.maximum(blk, hit) if soft_mode else (blk | hit)
+                return (jnp.maximum(b, hit) if soft_mode else (b | hit),)
+
+            carry = (
+                (blk, gblk_x, gblk_y)
+                if soft_mode and want_grad
+                else (blk,)
+            )
+            # Per-tile LOS occluder list: walls off the list cannot
+            # intersect TX->pixel for any pixel in the tile (their hit
+            # is exactly 0).  Both variants loop via fori (same compiled
+            # structure) so the shadow toggle stays bit-identical.
+            if shadow:
+                n_w = loscnt_ref[0, 0, 0]
+
+                def los_get(kk):
+                    return losdat_ref[0, 0, kk]
+
+            else:
+                n_w = W
+
+                def los_get(kk):
+                    return kk
+
+            CH = _SHADOW_CHUNK
+
+            def body(kk, a, _n=n_w):
+                for b_i in range(CH):
+                    k2 = kk * CH + b_i
+                    a = los_fold(
+                        _read_patched(
+                            los_get(
+                                jnp.minimum(k2, jnp.maximum(_n - 1, 0))
+                            )
+                        ),
+                        a,
+                        valid=k2 < _n,
+                    )
+                return a
+
+            steps = (
+                (n_w + CH - 1) // CH
+                if isinstance(n_w, int)
+                else jax.lax.div(n_w + CH - 1, jnp.int32(CH))
+            )
+            carry = jax.lax.fori_loop(0, steps, body, carry)
+            if soft_mode and want_grad:
+                blk, gblk_x, gblk_y = carry
+            else:
+                (blk,) = carry
             if soft_mode:
                 loss_ok = _soft(tol, alpha, sigmoid)
                 valid_pre = jnp.minimum(1.0 - blk, loss_ok)
@@ -1937,14 +2229,14 @@ def build_power_map_kernel_looped(
 
         cull_inputs = []
         cull_specs = []
+        n_tiles = rows // block_rows
+        pxt = px.reshape(n_tiles, -1)
+        pyt = py.reshape(n_tiles, -1)
         if cull:
             # Tile-beam culling tables: per (pixel tile, order group), the
             # list of candidate indices whose contribution can be nonzero
             # anywhere in the tile (kept-first permutation + count).  The
             # kernel's candidate loop then trips count times instead of C.
-            n_tiles = rows // block_rows
-            pxt = px.reshape(n_tiles, -1)
-            pyt = py.reshape(n_tiles, -1)
             keep_by_order = beam_keep_tables(
                 walls32,
                 normals32,
@@ -1992,6 +2284,37 @@ def build_power_map_kernel_looped(
                     ),
                 ]
 
+        shadow_inputs = []
+        shadow_specs = []
+        if shadow:
+            # Shadow-wall occluder lists: the blocked loops for the
+            # first/last/LOS segments trip over these short lists
+            # instead of all W walls (see shadow_wall_lists for the
+            # bit-identity argument).
+            l0dat, l0cnt, ldat, lcnt, sdat, scnt = shadow_wall_lists(
+                walls32,
+                kind,
+                tx,
+                scalars[2],
+                scalars[0],
+                approx,
+                pxt.min(axis=1), pxt.max(axis=1),
+                pyt.min(axis=1), pyt.max(axis=1),
+            )
+            shadow_inputs = [l0dat, l0cnt, ldat, lcnt, sdat, scnt]
+            smem_all = pl.BlockSpec(memory_space=pltpu.SMEM)
+            per_tile = lambda shape: pl.BlockSpec(  # noqa: E731
+                shape, lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+            )
+            shadow_specs = [
+                smem_all,                    # l0dat [W*W]
+                smem_all,                    # l0cnt [W]
+                per_tile((1, W, W)),         # lastdat [T, W, W]
+                per_tile((1, 1, W)),         # lastcnt [T, 1, W]
+                per_tile((1, 1, W)),         # losdat [T, 1, W]
+                per_tile((1, 1, 1)),         # loscnt [T, 1, 1]
+            ]
+
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         tile_spec = pl.BlockSpec(
             (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -2002,6 +2325,7 @@ def build_power_map_kernel_looped(
             in_specs=[smem, smem, smem, smem]
             + [smem] * (2 * len(cand_arrays))
             + cull_specs
+            + shadow_specs
             + [smem]
             + [tile_spec, tile_spec],
             out_specs=_out_specs(with_grad, block_rows),
@@ -2015,6 +2339,7 @@ def build_power_map_kernel_looped(
             *cand_arrays,
             *img_arrays,
             *cull_inputs,
+            *shadow_inputs,
             aux,
             px,
             py,
@@ -2531,6 +2856,16 @@ def get_fused_run(
         and not (approx and sigmoid)
         and os.environ.get("DIFFERT2D_TPU_CULL", "1") != "0"
     )
+    # Shadow-wall occluder lists share culling's exactness premise
+    # (saturated zeros) and its gates; DIFFERT2D_TPU_SHADOW=0 opts out
+    # for A/B.  Unlike candidate culling they also pay off for LOS-heavy
+    # maps, but they ride the looped kernel's SMEM plumbing, so the
+    # unrolled kernel stays list-free.
+    shadow = (
+        use_looped
+        and not (approx and sigmoid)
+        and os.environ.get("DIFFERT2D_TPU_SHADOW", "1") != "0"
+    )
     group_key = tuple(
         (o, g.tobytes(), g.shape) for o, g in sorted(groups.items())
     )
@@ -2543,6 +2878,7 @@ def get_fused_run(
             sigmoid,
             interpret,
             cull,
+            shadow,
         )
     else:
         cache_key = (
@@ -2573,13 +2909,14 @@ def get_fused_run(
             # +3.6% at 120 walls; at small W Mosaic's own LICM covers it).
             hoist_walls=int(walls_np.shape[0]) >= 32,
             cull=cull,
+            shadow=shadow,
             # Culled runs want SMALL tiles: the per-tile active-candidate
             # count shrinks with tile area (city extract: 46% of
             # candidates kept at 64x64-pixel tiles vs 27% at 32x32), and
             # the measured optimum is the minimal 8-row tile (6.5 vs
             # 9.5 ms/map at 256x256, 2026-08-19).  Unculled runs keep the
             # 32-row tile that amortizes the scalar preamble.
-            block_rows=8 if cull else 32,
+            block_rows=8 if (cull or shadow) else 32,
         )
 
         def run(pixels, txs, walls, kind, phi, scalars):
@@ -2648,8 +2985,9 @@ def get_fused_run(
     # square block intersects few) -- _get_entry applies a block
     # permutation when the grid shape allows it.
     run._culled = cull
+    run._shadowed = shadow
     # 32x32 spatial blocks = one 8-row kernel tile per block.
-    run._pixel_block = (32, 32) if cull else None
+    run._pixel_block = (32, 32) if (cull or shadow) else None
     _KERNEL_CACHE[cache_key] = run
     while len(_KERNEL_CACHE) > _KERNEL_CACHE_MAX:
         _KERNEL_CACHE.popitem(last=False)

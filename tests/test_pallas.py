@@ -1131,3 +1131,124 @@ def test_cull_check_canary_passes_and_detects(monkeypatch):
     monkeypatch.setattr(K, "beam_keep_tables", real)
     K._KERNEL_CACHE.clear()
     K._ENTRY_CACHE.clear()
+
+
+# ---------------------------------------------------------------------------
+# Shadow-wall occluder lists (listed blocked loops)
+
+
+@pytest.mark.parametrize("mode", ["value", "value_and_grad"])
+def test_shadow_lists_bitwise(mode):
+    """Shadow-listed blocked loops vs full loops are bit-identical on a
+    random wall soup (both kernels share the fori loop structure; the
+    lists only drop walls whose hit is exactly zero)."""
+    from differt2d_tpu.ops.pallas_kernels import build_power_map_kernel_looped
+    from differt2d_tpu.rt import path_candidate_matrices
+
+    scene = Scene.random_uniform_scene(n_walls=8, key=jax.random.PRNGKey(3))
+    arrays, pix, scal = _looped_args(scene)
+    groups = path_candidate_matrices(arrays.num_objects, 0, 2)
+    tx = next(iter(scene.transmitters.values())).xy
+    outs = []
+    for shadow in (False, True):
+        run = build_power_map_kernel_looped(
+            arrays.num_objects, groups, approx=True, interpret=True,
+            block_rows=8, cull=True, shadow=shadow, mode=mode,
+        )
+        outs.append(
+            jax.tree.map(
+                np.asarray,
+                run(pix, tx, arrays.walls, arrays.kind, arrays.phi, scal),
+            )
+        )
+    for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
+        assert np.array_equal(a, b)
+
+
+def test_shadow_lists_hard_logic_bitwise():
+    """Same bitwise contract under hard (non-approx) logic."""
+    from differt2d_tpu.ops.pallas_kernels import build_power_map_kernel_looped
+    from differt2d_tpu.rt import path_candidate_matrices
+
+    scene = Scene.random_uniform_scene(n_walls=9, key=jax.random.PRNGKey(11))
+    arrays, pix, scal = _looped_args(scene)
+    groups = path_candidate_matrices(arrays.num_objects, 0, 1)
+    tx = next(iter(scene.transmitters.values())).xy
+    outs = []
+    for shadow in (False, True):
+        run = build_power_map_kernel_looped(
+            arrays.num_objects, groups, approx=False, interpret=True,
+            block_rows=8, cull=True, shadow=shadow,
+        )
+        outs.append(
+            np.asarray(
+                run(pix, tx, arrays.walls, arrays.kind, arrays.phi, scal)
+            )
+        )
+    assert np.array_equal(outs[0], outs[1])
+
+
+def test_shadow_dispatch_flags():
+    """Auto dispatch enables shadow lists with culling on looped kernels
+    and keeps sigmoid maps unlisted."""
+    from differt2d_tpu.ops.pallas_kernels import get_fused_run
+    from differt2d_tpu.rt import path_candidate_matrices
+    from differt2d_tpu.tracer import scene_arrays
+
+    scene = Scene.city_scene()
+    arrays = scene_arrays(scene)
+    groups = path_candidate_matrices(arrays.num_objects, 0, 1)
+    kw = dict(n_tx=1, interpret=True, mode="value")
+    run = get_fused_run(arrays, groups, approx=True, sigmoid=False, **kw)
+    assert run._shadowed
+    run = get_fused_run(arrays, groups, approx=True, sigmoid=True, **kw)
+    assert not run._shadowed
+
+
+def test_shadow_wall_lists_shapes_and_soundness():
+    """List shapes/counts, and a direct necessary-condition check: every
+    wall with a nonzero LOS hit at a sampled pixel is in the tile's LOS
+    list."""
+    from differt2d_tpu.ops.pallas_kernels import (
+        _seg_intersect, shadow_wall_lists)
+    from differt2d_tpu.tracer import scene_arrays
+
+    scene = Scene.city_extract_scene()
+    arrays = scene_arrays(scene)
+    walls32 = jnp.asarray(arrays.walls, jnp.float32)
+    W = int(walls32.shape[0])
+    tx = scene.transmitters["tx"].xy
+    edges = np.linspace(0.01, 0.99, 5)
+    x0 = jnp.asarray(np.repeat(edges[:-1], 4), jnp.float32)
+    x1 = jnp.asarray(np.repeat(edges[1:], 4), jnp.float32)
+    y0 = jnp.asarray(np.tile(edges[:-1], 4), jnp.float32)
+    y1 = jnp.asarray(np.tile(edges[1:], 4), jnp.float32)
+    l0dat, l0cnt, ldat, lcnt, sdat, scnt = shadow_wall_lists(
+        walls32, arrays.kind, tx, jnp.float32(0.0), jnp.float32(100.0),
+        True, x0, x1, y0, y1,
+    )
+    T = 16
+    assert l0dat.shape == (W * W,) and l0cnt.shape == (W,)
+    assert ldat.shape == (T, W, W) and lcnt.shape == (T, 1, W)
+    assert sdat.shape == (T, 1, W) and scnt.shape == (T, 1, 1)
+    # lists prune something on the city extract
+    assert float(jnp.mean(scnt)) < W
+    rng = np.random.default_rng(0)
+    for t in rng.choice(T, size=4, replace=False):
+        n = int(scnt[t, 0, 0])
+        lst = set(int(v) for v in np.asarray(sdat[t, 0, :n]))
+        for _ in range(8):
+            px = rng.uniform(float(x0[t]), float(x1[t]))
+            py = rng.uniform(float(y0[t]), float(y1[t]))
+            for w in range(W):
+                hit = float(
+                    _seg_intersect(
+                        walls32[w, 0, 0], walls32[w, 0, 1],
+                        walls32[w, 1, 0], walls32[w, 1, 1],
+                        tx[0], tx[1],
+                        jnp.float32(px), jnp.float32(py),
+                        "hard", jnp.float32(100.0),
+                    )
+                )
+                if hit > 0.0:
+                    assert w in lst, (t, w, hit)

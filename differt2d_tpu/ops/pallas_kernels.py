@@ -93,6 +93,78 @@ def _seg_intersect(ax, ay, bx, by, cx, cy, dx, dy, soft, alpha, tol=0.005):
     return jnp.minimum(lhs, rhs) if soft else (lhs & rhs)
 
 
+def _seg_intersect_m6(ax, ay, bx, by, cx, cy, dx, dy, soft, alpha, tol=0.005):
+    """Deferred-clamp form of :func:`_seg_intersect` for VALUE kernels.
+
+    Returns the pre-activation margin ``m`` such that
+
+        soft:  hit = relu6(m) / 6      (m in ``alpha``-units)
+        hard:  hit = (m >= 0)          (m in ``t``-units)
+
+    Because ``relu6`` (and ``>= 0``) are monotone, the running max over
+    walls/segments can accumulate ``m`` directly and convert ONCE per
+    candidate: ``blk = relu6(max m)/6``.  That folds the four in-range
+    activations, both divisions and the final min into
+
+        m = min(z_a + c1, c2 - z_a, z_b + c1, c2 - z_b),
+        z = alpha * num / den  (one division: inv = alpha/den),
+
+    roughly halving the per-wall op count.  Walls with no crossing give
+    ``m <= 0`` exactly (hit == 0), so skipping them (shadow lists) or
+    masking them to ``-inf`` cannot change ``relu6(max m)``: if the full
+    max is positive it comes from a kept wall; if it is <= 0 the clamp
+    pins blk to 0 either way -- bit-identical.  Numerics differ from
+    :func:`_seg_intersect` by op-reassociation ULPs, so value and
+    gradient kernels must not mix forms within one comparison pair (the
+    gradient path keeps :func:`_seg_intersect_vag`).
+    """
+    avx, avy = bx - ax, by - ay
+    bvx, bvy = cx - dx, cy - dy
+    cvx, cvy = ax - cx, ay - cy
+    num_a = bvy * cvx - bvx * cvy
+    num_b = avx * cvy - avy * cvx
+    den = avy * bvx - avx * bvy
+    # Subnormal |den| counts as parallel (TPU flushes it to 0 anyway;
+    # keeping it normal-only bounds 1/den away from inf so num * inv
+    # can never form 0 * inf = NaN).
+    den_zero = jnp.abs(den) < np.float32(1.1754944e-38)
+    safe_den = jnp.where(den_zero, 1.0, den)
+    inv = 1.0 / safe_den
+    if soft:
+        shift = 0.0 if soft == "sigmoid" else 3.0
+        c1 = alpha * tol + shift
+        c2 = alpha * (1.0 + tol) + shift
+        z_a = jnp.where(den_zero, jnp.inf, alpha * (num_a * inv))
+        z_b = jnp.where(den_zero, jnp.inf, alpha * (num_b * inv))
+    else:
+        c1 = tol
+        c2 = 1.0 + tol
+        z_a = jnp.where(den_zero, jnp.inf, num_a * inv)
+        z_b = jnp.where(den_zero, jnp.inf, num_b * inv)
+    m = jnp.minimum(
+        jnp.minimum(z_a + c1, c2 - z_a),
+        jnp.minimum(z_b + c1, c2 - z_b),
+    )
+    return m
+
+
+def _blk_from_m6(m6, soft_mode):
+    """Convert the accumulated pre-activation margin into ``blk``.
+
+    The final clamp to [0, 1] is LOAD-BEARING: compilers may rewrite the
+    /6 (XLA:CPU fast-math turns divide-by-constant into multiply by a
+    rounded reciprocal), letting blk overshoot 1 by an ulp -- which
+    makes ``1 - blk`` negative and breaks both the soft-AND floor at 0
+    and the contains==0 hatch the culling proofs rely on (observed:
+    -2^-25 map values in interpret mode).
+    """
+    if soft_mode == "sigmoid":
+        return jnp.clip(jax.nn.sigmoid(m6), 0.0, 1.0)
+    if soft_mode:
+        return jnp.clip(jnp.clip(m6, 0.0, 6.0) / 6.0, 0.0, 1.0)
+    return m6 >= 0.0
+
+
 def _soft_grad(x, alpha, sigmoid: bool):
     """d activation(x) / dx (reference logic.py:220-255 derivatives).
 
@@ -1363,6 +1435,7 @@ def build_power_map_kernel_looped(
         raise ValueError(msg)
     group_orders = sorted(groups)
     group_counts = [int(groups[o].shape[0]) for o in group_orders]
+    total_cands = sum(group_counts)
     # Candidate index arrays exist only for orders >= 1 (order 0 has one
     # empty candidate and needs no indices).
     cand_orders = [o for o in group_orders if o >= 1 and groups[o].size]
@@ -1713,11 +1786,14 @@ def build_power_map_kernel_looped(
                 # have ``contains == 0`` saturated with exactly-zero
                 # gradients, so (val, gx, gy) are bit-identical either
                 # way (see run() for the geometric argument).
-                if soft_mode:
+                if soft_mode and want_grad:
                     blk = jnp.zeros_like(px)
                     gblk_x, gblk_y = zeros, zeros
                 else:
-                    blk = jnp.zeros_like(px, dtype=jnp.bool_)
+                    # Value path carries the pre-clamp margin max
+                    # (_seg_intersect_m6); converted to blk after the
+                    # segment loops.
+                    blk = jnp.full_like(px, -jnp.inf)
                 minus_one = jnp.int32(-1)
                 seg_idx = [minus_one] + [i for i in idx] + [minus_one]
 
@@ -1756,17 +1832,17 @@ def build_power_map_kernel_looped(
                         gy_ = _max_grad_sel(b, hit, gy_, ghy)
                         return (jnp.maximum(b, hit), gx_, gy_)
                     b = carry[0]
-                    hit = _seg_intersect(
+                    # Value path: fold the pre-clamp margin (see
+                    # _seg_intersect_m6); one relu6 per candidate
+                    # converts the running max into blk.
+                    m = _seg_intersect_m6(
                         wa_x, wa_y, wb_x, wb_y,
                         path_x[s], path_y[s],
                         path_x[s + 1], path_y[s + 1],
                         soft_mode, alpha,
                     )
-                    if soft_mode:
-                        hit = jnp.where(ignore, 0.0, hit)
-                        return (jnp.maximum(b, hit),)
-                    hit = jnp.where(ignore, False, hit)
-                    return (b | hit,)
+                    m = jnp.where(ignore, -jnp.inf, m)
+                    return (jnp.maximum(b, m),)
 
                 carry = (
                     (blk, gblk_x, gblk_y)
@@ -1847,7 +1923,8 @@ def build_power_map_kernel_looped(
                 if soft_mode and want_grad:
                     blk, gblk_x, gblk_y = carry
                 else:
-                    (blk,) = carry
+                    (m6,) = carry
+                    blk = _blk_from_m6(m6, soft_mode)
 
                 # Validity (arg-min gradient selection with want_grad).
                 if soft_mode:
@@ -1917,11 +1994,12 @@ def build_power_map_kernel_looped(
             zeros = jnp.zeros_like(px)
             txx_t = jnp.full_like(px, txx)
             txy_t = jnp.full_like(py, txy)
-            if soft_mode:
+            if soft_mode and want_grad:
                 blk = jnp.zeros_like(px)
                 gblk_x, gblk_y = zeros, zeros
             else:
-                blk = jnp.zeros_like(px, dtype=jnp.bool_)
+                # Value path carries the pre-clamp margin max.
+                blk = jnp.full_like(px, -jnp.inf)
 
             def los_fold(wall_vals, carry, valid=None):
                 wa_x, wa_y, wb_x, wb_y = wall_vals
@@ -1943,16 +2021,14 @@ def build_power_map_kernel_looped(
                     gy_ = _max_grad_sel(b, hit, gy_, ghy)
                     return (jnp.maximum(b, hit), gx_, gy_)
                 b = carry[0]
-                hit = _seg_intersect(
+                m = _seg_intersect_m6(
                     wa_x, wa_y, wb_x, wb_y,
                     txx_t, txy_t, px, py,
                     soft_mode, alpha,
                 )
                 if valid is not None:
-                    hit = jnp.where(
-                        valid, hit, 0.0 if soft_mode else False
-                    )
-                return (jnp.maximum(b, hit) if soft_mode else (b | hit),)
+                    m = jnp.where(valid, m, -jnp.inf)
+                return (jnp.maximum(b, m),)
 
             carry = (
                 (blk, gblk_x, gblk_y)
@@ -2000,7 +2076,8 @@ def build_power_map_kernel_looped(
             if soft_mode and want_grad:
                 blk, gblk_x, gblk_y = carry
             else:
-                (blk,) = carry
+                (m6,) = carry
+                blk = _blk_from_m6(m6, soft_mode)
             if soft_mode:
                 loss_ok = _soft(tol, alpha, sigmoid)
                 valid_pre = jnp.minimum(1.0 - blk, loss_ok)
@@ -2258,6 +2335,12 @@ def build_power_map_kernel_looped(
                 occlusion=os.environ.get(
                     "DIFFERT2D_TPU_CULL_OCCLUSION", "0"
                 ) == "1",
+                refine=int(
+                    os.environ.get(
+                        "DIFFERT2D_TPU_CULL_REFINE",
+                        "4" if total_cands > 1000 else "8",
+                    )
+                ),
             )
             for o in cand_orders:
                 keep = keep_by_order[o]
@@ -2916,7 +2999,21 @@ def get_fused_run(
             # the measured optimum is the minimal 8-row tile (6.5 vs
             # 9.5 ms/map at 256x256, 2026-08-19).  Unculled runs keep the
             # 32-row tile that amortizes the scalar preamble.
-            block_rows=8 if (cull or shadow) else 32,
+            # Tile-size / refine optimum flips with candidate count
+            # (measured TPU v5e, city extract 256x256, 2026-08-19):
+            # order-1 (137 cands) runs fastest at 16-row tiles with
+            # refine=8 tables (3.64 vs 4.52 ms/map); order-2 (18K cands)
+            # at 8-row tiles with refine=4 (323 vs 397 ms/map) -- small
+            # tiles buy tighter per-tile candidate culling exactly when
+            # there are many candidates to cull.
+            block_rows=int(
+                os.environ.get(
+                    "DIFFERT2D_TPU_BLOCK_ROWS",
+                    ("8" if total_candidates > 1000 else "16")
+                    if (cull or shadow)
+                    else "32",
+                )
+            ),
         )
 
         def run(pixels, txs, walls, kind, phi, scalars):

@@ -568,11 +568,14 @@ def test_x64_mode_declines_pallas(grids):
 
 
 def test_vag_value_halves_match_value_mode():
-    """The vag kernels' contract is 'forward pass identical to the value
-    kernel' (make_contrib_vag / make_cand_contrib_vag docstrings); the
-    value half must stay BIT-identical so value maps and value_and_grad
-    maps can never silently desync (the forward pipeline exists in both
-    builders)."""
+    """Value maps and value_and_grad maps must not silently desync.
+
+    The looped VALUE kernel now runs the deferred-clamp blocked form
+    (_seg_intersect_m6: one division per wall, one activation per
+    candidate) while the vag kernel keeps the per-wall activation
+    structure its gradient selects need -- so the looped pair agrees to
+    reassociation-ULP tolerance, not bitwise.  The unrolled pair still
+    shares one pipeline and stays exactly equal."""
     from differt2d_tpu.ops.pallas_kernels import (
         build_power_map_kernel,
         build_power_map_kernel_looped,
@@ -597,7 +600,7 @@ def test_vag_value_halves_match_value_mode():
                                         interpret=True, mode="value_and_grad")
     v0 = val(pixels, tx, arrays.walls, arrays.kind, arrays.phi, scalars)
     v1, _ = vag(pixels, tx, arrays.walls, arrays.kind, arrays.phi, scalars)
-    chex.assert_trees_all_close(v0, v1, rtol=1e-6, atol=2e-6)
+    chex.assert_trees_all_close(v0, v1, rtol=1e-4, atol=1e-5)
 
     g01 = path_candidate_matrices(arrays.num_objects, 0, 1)
     walls_np = np.asarray(arrays.walls)

@@ -58,6 +58,17 @@ _CULL_PAD_REL = 1e-3
 # few folds per step restores the cross-wall ILP the static loop had.
 _SHADOW_CHUNK = 4
 
+# f32 saturation bands of jax.nn.sigmoid, measured on TPU v5e (inside a
+# Mosaic kernel) and XLA:CPU on 2026-08-19: sigmoid(z) == 0.0 exactly
+# for z <= -87.4 (exp underflow with flush-to-zero) and == 1.0 exactly
+# for z >= 16.7 (1 - sigma rounds to 1); the derivative formula
+# alpha*s*(1-s) is then exactly 0 by construction.  The culling proofs
+# use wide margins over the measured thresholds.
+_SIGMOID_Z0 = 90.0
+_SIGMOID_Z1 = 20.0
+# hard_sigmoid saturates at |z| >= 3 on both sides.
+_HARD_Z = 3.0
+
 
 def _soft(x, alpha, sigmoid: bool):
     """activation(x) = f(alpha * x); reference logic.py:220-255."""
@@ -896,6 +907,7 @@ def beam_keep_tables(
     patch=None,
     occlusion: bool = True,
     refine: int = 4,
+    sigmoid: bool = False,
 ):
     """Per-(pixel tile, candidate) conservative keep mask for tile-beam
     candidate culling.
@@ -908,8 +920,12 @@ def beam_keep_tables(
     the running soft-AND ``min`` then pins ``valid`` (and, because
     ``hard_sigmoid``'s derivative is identically zero strictly inside
     saturation, BOTH analytic pixel partials) to exact zeros -- so
-    skipping the candidate is bit-identical to accumulating it.  (Plain
-    ``sigmoid`` never reaches exact zero; culling must stay off there.)
+    skipping the candidate is bit-identical to accumulating it.  Plain
+    ``sigmoid`` ALSO saturates in f32 -- exactly 0 below z = -87.4 (exp
+    underflow) and exactly 1 above z = 16.7 (round-to-one), with the
+    derivative formula alpha*s*(1-s) exactly 0 at both -- so sigmoid
+    maps cull too, with the wider ``_SIGMOID_Z0/_SIGMOID_Z1`` bands
+    (``sigmoid=True``).
 
     The kernel's backward image recursion makes every bounce point a
     PROJECTIVE-AFFINE function of the pixel ``p``: starting from
@@ -980,11 +996,20 @@ def beam_keep_tables(
     """
     kind_i32 = kind.astype(jnp.int32)
     if approx:
-        band = 3.0 / jnp.maximum(alpha.astype(jnp.float32), 1e-6)
+        # Saturated-0 / saturated-1 activation bands in t-units; plain
+        # sigmoid saturates via f32 underflow / round-to-one at the
+        # measured _SIGMOID_Z0/_SIGMOID_Z1 (module constants), which
+        # makes its maps cullable too -- just with wider beams.
+        z0 = _SIGMOID_Z0 if sigmoid else _HARD_Z
+        z1 = _SIGMOID_Z1 if sigmoid else _HARD_Z
+        alpha_f = jnp.maximum(alpha.astype(jnp.float32), 1e-6)
+        band0 = z0 / alpha_f
+        band1 = z1 / alpha_f
     else:
-        band = jnp.float32(0.0)
-    lo_thr = -band
-    hi_thr = 1.0 + band
+        band0 = jnp.float32(0.0)
+        band1 = jnp.float32(0.0)
+    lo_thr = -band0
+    hi_thr = 1.0 + band0
 
     R = max(1, int(refine))
     T = x0.shape[0]
@@ -1047,8 +1072,8 @@ def beam_keep_tables(
         # parameters within [band - tol, 1 + tol - band], tol = 0.005
         # (the _seg_intersect default baked into the kernels).
         seg_tol = 0.005
-        lo_sat = band - seg_tol
-        hi_sat = 1.0 + seg_tol - band
+        lo_sat = band1 - seg_tol
+        hi_sat = 1.0 + seg_tol - band1
 
     keep_by_order = {}
     for o in cand_orders:
@@ -1279,7 +1304,8 @@ def beam_keep_tables(
 
 
 def shadow_wall_lists(
-    walls32, kind, tx, patch, alpha, approx, x0, x1, y0, y1
+    walls32, kind, tx, patch, alpha, approx, x0, x1, y0, y1,
+    sigmoid=False,
 ):
     """Per-wall / per-tile occluder index lists for the blocked test.
 
@@ -1312,7 +1338,8 @@ def shadow_wall_lists(
     b = walls32[:, 1, :]
     d = b - a
     if approx:
-        band = 3.0 / jnp.maximum(alpha.astype(jnp.float32), 1e-6)
+        z0 = _SIGMOID_Z0 if sigmoid else _HARD_Z
+        band = z0 / jnp.maximum(alpha.astype(jnp.float32), 1e-6)
     else:
         band = jnp.float32(0.0)
     pad_t = 0.01
@@ -1427,12 +1454,7 @@ def build_power_map_kernel_looped(
     if mode not in ("value", "value_and_grad"):
         msg = f"unknown kernel mode {mode!r}"
         raise ValueError(msg)
-    if (cull or shadow) and approx and sigmoid:
-        msg = (
-            "tile-beam culling requires exact-zero saturation (hard"
-            " logic or hard_sigmoid); plain sigmoid tails never reach 0"
-        )
-        raise ValueError(msg)
+
     group_orders = sorted(groups)
     group_counts = [int(groups[o].shape[0]) for o in group_orders]
     total_cands = sum(group_counts)
@@ -2341,6 +2363,7 @@ def build_power_map_kernel_looped(
                         "4" if total_cands > 1000 else "8",
                     )
                 ),
+                sigmoid=sigmoid,
             )
             for o in cand_orders:
                 keep = keep_by_order[o]
@@ -2383,6 +2406,7 @@ def build_power_map_kernel_looped(
                 approx,
                 pxt.min(axis=1), pxt.max(axis=1),
                 pyt.min(axis=1), pyt.max(axis=1),
+                sigmoid=sigmoid,
             )
             shadow_inputs = [l0dat, l0cnt, ldat, lcnt, sdat, scnt]
             smem_all = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -2551,42 +2575,61 @@ def _get_entry(run, grad, value_and_grad, scalars_tuple):
 
     @jax.jit
     def entry(X, Y, tx_xys, walls, kind, phi):
-        pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
-        # Culled kernels: permute pixels so each kernel tile covers a
+        # Culled kernels: lay pixels out so each kernel tile covers a
         # spatially-square block instead of a full-width row strip (a
         # strip intersects most candidate beams; a square block few).
-        # Pure reindexing -- every pixel's value is bit-identical.
-        inv = None
-        if (
+        # Pure relayout via reshape+transpose (NOT a gather: the gather
+        # form cost ~0.7 ms/map at 256x256 on the tunnel-attached v5e,
+        # half the map time) -- every pixel's value is bit-identical.
+        blocked = (
             pixel_block is not None
             and X.ndim == 2
             and X.shape[0] % pixel_block[0] == 0
             and X.shape[1] % pixel_block[1] == 0
             and X.shape[0] >= pixel_block[0]
             and X.shape[1] >= pixel_block[1]
-        ):
+        )
+
+        def to_blocks(A):
+            bh, bw = pixel_block
+            m, n = A.shape[:2]
+            rest = A.shape[2:]
+            return (
+                A.reshape(m // bh, bh, n // bw, bw, *rest)
+                .transpose(0, 2, 1, 3, *range(4, 4 + len(rest)))
+                .reshape(m * n, *rest)
+            )
+
+        def from_blocks(flat, rest=()):
             bh, bw = pixel_block
             m, n = X.shape
-            perm = (
-                np.arange(m * n)
-                .reshape(m // bh, bh, n // bw, bw)
-                .transpose(0, 2, 1, 3)
-                .reshape(-1)
+            return (
+                flat.reshape(m // bh, n // bw, bh, bw, *rest)
+                .transpose(0, 2, 1, 3, *range(4, 4 + len(rest)))
+                .reshape(m, n, *rest)
             )
-            inv = jnp.asarray(np.argsort(perm), dtype=jnp.int32)
-            pixels = pixels[jnp.asarray(perm, dtype=jnp.int32)]
+
+        if blocked:
+            pixels = jnp.stack(
+                [to_blocks(X), to_blocks(Y)], axis=-1
+            )
+        else:
+            pixels = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
         txs = jnp.stack(tx_xys)
         out = run(pixels, txs, walls, kind, phi, jnp.asarray(scal))
         if want_grad:
             val, dval = out
-            if inv is not None:
-                val = val[inv]
-                dval = dval[inv]
+            if blocked:
+                return (
+                    (from_blocks(val), from_blocks(dval, (2,)))
+                    if value_and_grad
+                    else from_blocks(dval, (2,))
+                )
             val = val.reshape(X.shape)
             dval = dval.reshape(*X.shape, 2)
             return (val, dval) if value_and_grad else dval
-        if inv is not None:
-            out = out[inv]
+        if blocked:
+            return from_blocks(out)
         return out.reshape(X.shape)
 
     _ENTRY_CACHE[key] = (run, entry)
@@ -2913,15 +2956,37 @@ def get_fused_run(
         # matched the unrolled one bit-for-bit on TPU).
         use_looped = total_candidates > 16 or with_grad
     else:
-        # Proxy alone decides: a few-candidate set over MANY walls (e.g. a
+        # Proxy decides: a few-candidate set over MANY walls (e.g. a
         # filtered city scene) still unrolls a huge blocked-test stream,
         # so candidate count must not override the compile-time bound.
         use_looped = stream_proxy > (400 if with_grad else 1200)
+        # Crossover (measured TPU v5e, 2026-08-19): once order>=2
+        # candidates exist, the culled+shadow-listed looped kernel beats
+        # the unrolled one even on small scenes -- basic_scene order<=2
+        # at 256x256: 1.34x hard logic (0.46 vs 0.62 ms/map), 1.53x
+        # sigmoid (0.72 vs 1.09 ms/map; sigmoid culls via the f32
+        # saturation bands).  Flip-rate vs XLA stays pinned by
+        # TestFlipRateContract.  Order<=1 small sets stay unrolled
+        # (north-star 1024x1024: unrolled 0.88 ms vs looped 0.89 ms).
+        has_deep_cullable = any(
+            o >= 2
+            and g.size
+            and bool(np.any(kinds_np[np.asarray(g)] != KIND_VERTEX))
+            for o, g in groups.items()
+        )
+        if (
+            not with_grad
+            and has_deep_cullable
+            and os.environ.get("DIFFERT2D_TPU_CULL", "1") != "0"
+        ):
+            use_looped = True
     # Tile-beam candidate culling (bit-identical skipping of candidates
     # whose contribution is exactly zero everywhere in a pixel tile) is
     # sound exactly when zero contributions ARE exact: hard logic, or
     # soft logic with the saturating hard_sigmoid (the default).  Plain
-    # sigmoid tails never reach zero, so those maps run unculled.
+    # sigmoid saturates via f32 underflow/round-to-one at the measured
+    # _SIGMOID_Z0/_SIGMOID_Z1 thresholds, so sigmoid maps cull too --
+    # with ~30x wider beams (band z0/alpha).
     # All-Vertex candidate sets (e.g. vertex-diffraction maps) have no
     # cullable bounce at all -- the machinery (8-row tiles, dynamic trip
     # counts, pixel permutation) would be pure overhead (measured ~25%
@@ -2936,7 +3001,6 @@ def get_fused_run(
     cull = (
         use_looped
         and any_cullable
-        and not (approx and sigmoid)
         and os.environ.get("DIFFERT2D_TPU_CULL", "1") != "0"
     )
     # Shadow-wall occluder lists share culling's exactness premise
@@ -2946,7 +3010,6 @@ def get_fused_run(
     # unrolled kernel stays list-free.
     shadow = (
         use_looped
-        and not (approx and sigmoid)
         and os.environ.get("DIFFERT2D_TPU_SHADOW", "1") != "0"
     )
     group_key = tuple(

@@ -366,6 +366,38 @@ class TestFlipRateContract:
         assert rate <= self.IMAGE_FLIP_BOUND, (rate, self.IMAGE_FLIP_BOUND)
         assert rest <= 1e-3, rest
 
+    def test_crossover_kernel_vs_kernel_flip_rate(self, grids):
+        """The order>=2 dispatch crossover (unrolled -> culled looped,
+        measured 1.3-1.5x on TPU) swaps kernels whose outputs differ on
+        validity-boundary pixels only; pin the kernel-vs-kernel flip
+        rate like the MPT auto-dispatch contract."""
+        from differt2d_tpu.ops.pallas_kernels import (
+            build_power_map_kernel, build_power_map_kernel_looped)
+        from differt2d_tpu.rt import path_candidate_matrices
+        from differt2d_tpu.tracer import scene_arrays
+
+        scene = Scene.basic_scene()
+        arrays = scene_arrays(scene)
+        groups = path_candidate_matrices(arrays.num_objects, 0, 2)
+        X, Y = grids
+        pix = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+        scal = jnp.array([100.0, 1e-2, 0.0, 0.5, 0.1], dtype=jnp.float32)
+        tx = scene.transmitters["tx"].xy
+        interp = jax.default_backend() != "tpu"
+        un = build_power_map_kernel(
+            np.asarray(arrays.walls), np.asarray(arrays.kind), groups,
+            approx=True, interpret=interp, block_rows=8,
+        )
+        lp = build_power_map_kernel_looped(
+            arrays.num_objects, groups, approx=True, interpret=interp,
+            block_rows=8, cull=True, shadow=True,
+        )
+        a = un(pix, tx, arrays.phi, scal)
+        b = lp(pix, tx, arrays.walls, arrays.kind, arrays.phi, scal)
+        rate, rest = self._flip_stats(a, b)
+        assert rate <= self.IMAGE_FLIP_BOUND, (rate, self.IMAGE_FLIP_BOUND)
+        assert rest <= 1e-3, rest
+
     def test_mpt_flip_rate_contract(self, grids, key):
         scene = Scene.square_scene()
         X, Y = grids
@@ -847,7 +879,7 @@ def test_cull_dispatch_flags(monkeypatch):
     run = get_fused_run(arrays, groups, approx=True, sigmoid=False, **kw)
     assert run._culled and run._pixel_block == (32, 32)
     run = get_fused_run(arrays, groups, approx=True, sigmoid=True, **kw)
-    assert not run._culled and run._pixel_block is None
+    assert run._culled  # sigmoid culls via the f32 saturation bands
     run = get_fused_run(arrays, groups, approx=False, sigmoid=False, **kw)
     assert run._culled
     monkeypatch.setenv("DIFFERT2D_TPU_CULL", "0")
@@ -892,17 +924,36 @@ def test_cull_dispatch_flags(monkeypatch):
     assert not run._culled
 
 
-def test_cull_sigmoid_rejected():
-    """The looped builder refuses cull+sigmoid: sigmoid tails never
-    reach exact zero, so skipping would change the map."""
+@pytest.mark.parametrize("mode", ["value", "value_and_grad"])
+def test_cull_sigmoid_bitwise(mode):
+    """Sigmoid maps cull bit-identically too: f32 sigmoid saturates to
+    exactly 0 below z = -87.4 (exp underflow) and exactly 1 above
+    z = 16.7 (round-to-one), with alpha*s*(1-s) exactly 0 at both, so
+    the same skip argument holds with the wider _SIGMOID_Z0/Z1 bands.
+    alpha is raised so the wide band still culls on a 32x32 grid."""
     from differt2d_tpu.ops.pallas_kernels import build_power_map_kernel_looped
     from differt2d_tpu.rt import path_candidate_matrices
 
-    with pytest.raises(ValueError, match="saturation"):
-        build_power_map_kernel_looped(
-            7, path_candidate_matrices(7, 0, 1), approx=True, sigmoid=True,
-            cull=True,
+    scene = Scene.random_uniform_scene(n_walls=7, key=jax.random.PRNGKey(5))
+    arrays, pix, _ = _looped_args(scene)
+    scal = jnp.array([1000.0, 1e-2, 0.0, 0.5, 0.1], dtype=jnp.float32)
+    groups = path_candidate_matrices(arrays.num_objects, 0, 2)
+    tx = next(iter(scene.transmitters.values())).xy
+    outs = []
+    for cull in (False, True):
+        run = build_power_map_kernel_looped(
+            arrays.num_objects, groups, approx=True, sigmoid=True,
+            interpret=True, block_rows=8, cull=cull, shadow=cull,
+            mode=mode,
         )
+        outs.append(
+            jax.tree.map(
+                np.asarray,
+                run(pix, tx, arrays.walls, arrays.kind, arrays.phi, scal),
+            )
+        )
+    for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
+        assert np.array_equal(a, b)
 
 
 def test_beam_keep_tables_prune_and_protect():
@@ -1205,7 +1256,7 @@ def test_shadow_dispatch_flags():
     run = get_fused_run(arrays, groups, approx=True, sigmoid=False, **kw)
     assert run._shadowed
     run = get_fused_run(arrays, groups, approx=True, sigmoid=True, **kw)
-    assert not run._shadowed
+    assert run._shadowed  # sigmoid lists use the wider saturation band
 
 
 def test_shadow_wall_lists_shapes_and_soundness():

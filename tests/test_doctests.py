@@ -81,3 +81,20 @@ def test_api_docs_complete():
     assert on_disk == gen_api_docs.generate(), (
         "docs/api.md is stale -- run `python tools/gen_api_docs.py`"
     )
+
+    # Rendered per-module reference pages (full signatures + docstrings,
+    # the analog of the reference's Sphinx docs/source/reference/*.rst)
+    # must exist and be current too.
+    pages = gen_api_docs.generate_reference()
+    ref_dir = os.path.join(root, "docs", "reference")
+    for fname, content in pages.items():
+        path = os.path.join(ref_dir, fname)
+        assert os.path.exists(path), (
+            f"missing docs/reference/{fname} -- run"
+            " `python tools/gen_api_docs.py`"
+        )
+        with open(path) as f:
+            assert f.read() == content, (
+                f"docs/reference/{fname} is stale -- run"
+                " `python tools/gen_api_docs.py`"
+            )

@@ -80,8 +80,18 @@ def sample_trajectories(
     rx: jax.Array,
     order: int,
     batch: int,
+    explore_eps: float = 0.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Sample ``batch`` candidate sequences of length ``order``.
+
+    ``explore_eps > 0`` mixes an epsilon-uniform behavior policy into
+    the per-step action draw (standard off-policy trajectory-balance
+    exploration: the returned ``log_pf`` is still the MODEL's
+    log-probability of the sampled actions, so the TB loss stays
+    well-posed).  Needle-in-a-haystack rewards need it: the city
+    extract at order 2 has 2 valid candidates out of 18,360, and a
+    purely on-policy sampler that never hits one collapses to the
+    reward floor without ever finding them.
 
     :return: ``(candidates int32[batch, order], log_pf[batch])`` where
         ``log_pf`` is the summed forward log-probability of each sample.
@@ -95,7 +105,18 @@ def sample_trajectories(
             logits = model.apply(params, walls, tx, rx, prev_onehot, step_onehot)
             key_c, key_s = jax.random.split(key_c)
             choice = jax.random.categorical(key_s, logits)
-            log_pf = log_pf + jax.nn.log_softmax(logits)[choice]
+            if explore_eps > 0.0:
+                key_c, key_u, key_b = jax.random.split(key_c, 3)
+                uniform = jax.random.randint(key_u, (), 0, W)
+                take_u = jax.random.bernoulli(key_b, explore_eps)
+                choice = jnp.where(take_u, uniform, choice)
+            # Clamp: epsilon-exploration can force actions the model
+            # gives ~0 probability; log_softmax -> -inf there would NaN
+            # the trajectory-balance loss.  -30 (prob 1e-13) is never
+            # reached by on-policy draws.
+            log_pf = log_pf + jnp.maximum(
+                jax.nn.log_softmax(logits)[choice], -30.0
+            )
             return (key_c, jax.nn.one_hot(choice, W), log_pf), choice
 
         init = (key_i, jnp.zeros(W), jnp.array(0.0))
@@ -155,6 +176,7 @@ def make_train_step(
     rx: jax.Array,
     order: int,
     batch: int = 64,
+    explore_eps: float = 0.0,
 ):
     """Jitted trajectory-balance training step.
 
@@ -168,7 +190,8 @@ def make_train_step(
 
     def loss_fn(train_params, key):
         cands, log_pf = sample_trajectories(
-            model, train_params["model"], key, walls, tx, rx, order, batch
+            model, train_params["model"], key, walls, tx, rx, order, batch,
+            explore_eps=explore_eps,
         )
         log_r = jnp.log(reward_fn(cands, tx, rx))
         err = train_params["log_z"] + log_pf - log_r

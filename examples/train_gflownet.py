@@ -35,7 +35,26 @@ def main():
     parser.add_argument("--order", type=int, default=2)
     parser.add_argument("--steps", type=int, default=500)
     parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument(
+        "--scan-chunk", type=int, default=1,
+        help="steps per device-side lax.scan chunk (chunk > 1 runs the"
+        " same PRNG stream as chunk=1 but pays one host round trip per"
+        " chunk -- needed for reference-scale 100k-step runs through a"
+        " remote-TPU link)",
+    )
     parser.add_argument("--learning-rate", type=float, default=1e-2)
+    parser.add_argument(
+        "--explore", type=float, default=0.0,
+        help="epsilon-uniform exploration share during training"
+        " (off-policy trajectory balance; needed for sparse rewards"
+        " like city-extract order 2: 2 valid of 18,360 candidates)",
+    )
+    parser.add_argument(
+        "--min-reward", type=float, default=1e-3,
+        help="reward floor for invalid candidates; for huge candidate"
+        " sets lower it so the floor mass does not dominate the"
+        " partition function (e.g. 1e-5 at 18k candidates)",
+    )
     parser.add_argument("--checkpoint", type=str, default=None)
     parser.add_argument(
         "--tx", type=float, nargs=2, default=None, metavar=("X", "Y"),
@@ -68,13 +87,13 @@ def main():
         rx = jnp.array(args.rx, dtype=walls.dtype)
 
     model = FlowNet(num_walls=num_walls, max_order=args.order)
-    reward = make_reward_fn(scene, order=args.order)
+    reward = make_reward_fn(scene, order=args.order, min_reward=args.min_reward)
     params = init_train_params(model, jax.random.PRNGKey(0), walls)
     optimizer = optax.adam(args.learning_rate)
     opt_state = optimizer.init(params)
     step = make_train_step(
         model, optimizer, reward, walls, tx, rx,
-        order=args.order, batch=args.batch,
+        order=args.order, batch=args.batch, explore_eps=args.explore,
     )
 
     def valid_fraction(p, k):
@@ -87,11 +106,49 @@ def main():
     print(f"valid fraction before: {valid_fraction(params, k_eval):.3f}")
 
     k = jax.random.PRNGKey(1)
-    for i in range(args.steps):
-        k, k_step = jax.random.split(k)
-        params, opt_state, loss = step(params, opt_state, k_step)
-        if (i + 1) % max(1, args.steps // 10) == 0:
-            print(f"step {i + 1:5d}: loss {float(loss):.4f}")
+    if args.scan_chunk > 1:
+        # Device-side chunks: identical PRNG stream to the per-step
+        # loop (the key splits inside the scan body), one host round
+        # trip per chunk instead of per step.
+        import jax.lax as lax
+
+        @jax.jit
+        def run_chunk(params, opt_state, k):
+            def body(carry, i):
+                p, o, kk = carry
+                kk, k_step = jax.random.split(kk)
+                p, o, loss = step(p, o, k_step)
+                return (p, o, kk), loss
+
+            (params, opt_state, k), losses = lax.scan(
+                body, (params, opt_state, k),
+                jnp.arange(args.scan_chunk),
+            )
+            return params, opt_state, k, losses
+
+        done = 0
+        while done < args.steps:
+            n = min(args.scan_chunk, args.steps - done)
+            if n < args.scan_chunk:
+                # Tail chunk: fall back to the per-step loop (same
+                # stream) instead of compiling a second scan length.
+                for _ in range(n):
+                    k, k_step = jax.random.split(k)
+                    params, opt_state, loss = step(params, opt_state, k_step)
+                done += n
+                print(f"step {done:6d}: loss {float(loss):.4f}")
+                break
+            params, opt_state, k, losses = run_chunk(
+                params, opt_state, k
+            )
+            done += n
+            print(f"step {done:6d}: loss {float(losses[-1]):.4f}")
+    else:
+        for i in range(args.steps):
+            k, k_step = jax.random.split(k)
+            params, opt_state, loss = step(params, opt_state, k_step)
+            if (i + 1) % max(1, args.steps // 10) == 0:
+                print(f"step {i + 1:5d}: loss {float(loss):.4f}")
 
     print(f"valid fraction after:  {valid_fraction(params, k_eval):.3f}")
     if args.checkpoint:

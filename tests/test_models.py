@@ -89,3 +89,37 @@ def test_training_improves_valid_fraction(scene, key):
     assert losses[-1] < losses[0]
     # The sampler should concentrate on valid candidates.
     assert after >= before
+
+
+def test_exploration_off_policy_stays_finite(key):
+    """epsilon-uniform exploration forces actions the policy may assign
+    ~0 probability; the clamped log_pf must keep the trajectory-balance
+    loss finite (unclamped, a saturated policy NaN'd within the first
+    1000 steps of the city-extract order-2 run)."""
+    import optax
+
+    from differt2d_tpu import tracer
+    from differt2d_tpu.models import (
+        FlowNet, make_reward_fn, make_train_step)
+    from differt2d_tpu.models.gflownet import init_train_params
+    from differt2d_tpu.scene import Scene
+
+    scene = Scene.square_scene_with_obstacle()
+    arrays = tracer.scene_arrays(scene)
+    walls = arrays.walls
+    tx = scene.transmitters["tx"].xy
+    rx = scene.receivers["rx"].xy
+    model = FlowNet(num_walls=arrays.num_objects, max_order=2)
+    reward = make_reward_fn(scene, order=2, min_reward=1e-5)
+    params = init_train_params(model, jax.random.PRNGKey(0), walls)
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+    step = make_train_step(
+        model, optimizer, reward, walls, tx, rx, order=2, batch=32,
+        explore_eps=0.5,  # aggressive: half the actions off-policy
+    )
+    k = key
+    for _ in range(30):
+        k, k_step = jax.random.split(k)
+        params, opt_state, loss = step(params, opt_state, k_step)
+        assert jnp.isfinite(float(loss))

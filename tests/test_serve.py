@@ -74,6 +74,11 @@ def server():
     finally:
         proc.kill()  # exact PID of the child we spawned
         proc.wait()
+        # Close the pipe explicitly: a GC'd open pipe raises
+        # ResourceWarning later, failing an unrelated test under the
+        # suite's warnings-as-errors policy.
+        if proc.stdout is not None:
+            proc.stdout.close()
 
 
 def test_health_and_scenes(server):

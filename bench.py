@@ -639,6 +639,7 @@ def full_config_sweep() -> dict:
     # A/B row below carries it (culled runs skip most of those FLOPs --
     # the model read 147% otherwise).
     os.environ["DIFFERT2D_TPU_CULL"] = "0"
+    os.environ["DIFFERT2D_TPU_SHADOW"] = "0"
     try:
         t = chained_grid_map_time(
             lambda Xg, Yg: power_map(city, Xg, Yg, max_order=1, approx=True),
@@ -650,6 +651,7 @@ def full_config_sweep() -> dict:
             _set("cfg6_unculled_pct_vpu_peak", pct)
     finally:
         del os.environ["DIFFERT2D_TPU_CULL"]
+        del os.environ["DIFFERT2D_TPU_SHADOW"]
 
     # Config 7: vendored OSM-style city extract (136 oblique walls, concave
     # L/U/T footprints) -- realism upgrade over config 6's Manhattan grid.
@@ -664,10 +666,12 @@ def full_config_sweep() -> dict:
     _set("cfg7_city_extract_136walls_order1_pts_per_s", round(256 * 256 / t, 1))
 
 
-    # A/B row: the same map with tile-beam culling disabled (candidates
+    # A/B row: the same map with tile-beam culling AND shadow-wall
+    # occluder lists disabled (candidates
     # whose contribution is exactly zero in a pixel tile are skipped by
     # default -- bit-identical, see ops/pallas_kernels.beam_keep_tables).
     os.environ["DIFFERT2D_TPU_CULL"] = "0"
+    os.environ["DIFFERT2D_TPU_SHADOW"] = "0"
     try:
         t = chained_grid_map_time(
             lambda Xg, Yg: power_map(extract, Xg, Yg, max_order=1, approx=True),
@@ -678,6 +682,7 @@ def full_config_sweep() -> dict:
         )
     finally:
         del os.environ["DIFFERT2D_TPU_CULL"]
+        del os.environ["DIFFERT2D_TPU_SHADOW"]
 
     # Config 8: second-order city map (18,497 candidates x 136 walls) --
     # the scale multi-bounce tile-beam culling unlocks (measured 7.1x

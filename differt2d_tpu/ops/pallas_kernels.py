@@ -56,7 +56,9 @@ _CULL_PAD_REL = 1e-3
 
 # Walls per fori step in the shadow-listed blocked loops: unrolling a
 # few folds per step restores the cross-wall ILP the static loop had.
-_SHADOW_CHUNK = 4
+# 8 walls per step measured best across city configs (cfg8 322 -> 293
+# ms/map, cfg6/cfg7 ~25% faster than 4; 16 ties or regresses).
+_SHADOW_CHUNK = int(os.environ.get("DIFFERT2D_TPU_SHADOW_CHUNK", "8"))
 
 # f32 saturation bands of jax.nn.sigmoid, measured on TPU v5e (inside a
 # Mosaic kernel) and XLA:CPU on 2026-08-19: sigmoid(z) == 0.0 exactly
@@ -1458,6 +1460,14 @@ def build_power_map_kernel_looped(
     group_orders = sorted(groups)
     group_counts = [int(groups[o].shape[0]) for o in group_orders]
     total_cands = sum(group_counts)
+    # The legacy vjp/jvp2 tangent A/B paths reverse- or forward-
+    # differentiate the VALUE pipeline; reverse mode cannot transpose
+    # fori_loops with dynamic trip counts, so those kernels keep the
+    # static full-wall loops (they are verification-only -- no culling
+    # or shadow lists ride them).
+    dyn_lists = not (
+        mode == "value_and_grad" and tangent_impl in ("vjp", "jvp2")
+    )
     # Candidate index arrays exist only for orders >= 1 (order 0 has one
     # empty candidate and needs no indices).
     cand_orders = [o for o in group_orders if o >= 1 and groups[o].size]
@@ -1480,15 +1490,20 @@ def build_power_map_kernel_looped(
             rest = rest[4 * k :]
         else:
             rest = rest[2 * k :]
-        if shadow:
-            # Shadow-wall lists (see run()): per-first-wall, per-(tile,
-            # last-wall) and per-tile LOS occluder index lists + counts.
-            (
-                l0dat_ref, l0cnt_ref,
-                lastdat_ref, lastcnt_ref,
-                losdat_ref, loscnt_ref,
-            ) = rest[:6]
-            rest = rest[6:]
+        # Shadow-wall lists (see run()): per-first-wall, per-(tile,
+        # last-wall) and per-tile LOS occluder index lists + counts.
+        # ALWAYS present: with shadow=False run() feeds identity lists,
+        # so the two kernels are the same program and the toggle is
+        # pure data -- compilers fold/contract loop bodies differently
+        # when an index is a constant vs an SMEM read (observed 1-ulp
+        # LOS drift at chunk=8), and bit-identity must not depend on
+        # that.
+        (
+            l0dat_ref, l0cnt_ref,
+            lastdat_ref, lastcnt_ref,
+            losdat_ref, loscnt_ref,
+        ) = rest[:6]
+        rest = rest[6:]
         aux_ref, px_ref, py_ref = rest[:3]
         out_refs = rest[3:]
 
@@ -1909,34 +1924,20 @@ def build_power_map_kernel_looped(
                     return jax.lax.fori_loop(0, steps, body, carry)
 
                 for s in range(order + 1):
-                    if s == 0:
+                    if dyn_lists and s == 0:
                         i0 = idx[0]
-                        if shadow:
-                            n_w = l0cnt_ref[i0]
+                        n_w = l0cnt_ref[i0]
 
-                            def get0(kk, _i0=i0):
-                                return l0dat_ref[_i0 * W + kk]
-
-                        else:
-                            n_w = W
-
-                            def get0(kk):
-                                return kk
+                        def get0(kk, _i0=i0):
+                            return l0dat_ref[_i0 * W + kk]
 
                         carry = listed_loop(s, n_w, get0, carry)
-                    elif s == order:
+                    elif dyn_lists and s == order:
                         il = idx[order - 1]
-                        if shadow:
-                            n_w = lastcnt_ref[0, 0, il]
+                        n_w = lastcnt_ref[0, 0, il]
 
-                            def getl(kk, _il=il):
-                                return lastdat_ref[0, _il, kk]
-
-                        else:
-                            n_w = W
-
-                            def getl(kk):
-                                return kk
+                        def getl(kk, _il=il):
+                            return lastdat_ref[0, _il, kk]
 
                         carry = listed_loop(s, n_w, getl, carry)
                     else:
@@ -2061,40 +2062,37 @@ def build_power_map_kernel_looped(
             # intersect TX->pixel for any pixel in the tile (their hit
             # is exactly 0).  Both variants loop via fori (same compiled
             # structure) so the shadow toggle stays bit-identical.
-            if shadow:
+            if dyn_lists:
                 n_w = loscnt_ref[0, 0, 0]
 
                 def los_get(kk):
                     return losdat_ref[0, 0, kk]
 
+                CH = _SHADOW_CHUNK
+
+                def body(kk, a, _n=n_w):
+                    for b_i in range(CH):
+                        k2 = kk * CH + b_i
+                        a = los_fold(
+                            _read_patched(
+                                los_get(
+                                    jnp.minimum(
+                                        k2, jnp.maximum(_n - 1, 0)
+                                    )
+                                )
+                            ),
+                            a,
+                            valid=k2 < _n,
+                        )
+                    return a
+
+                steps = jax.lax.div(
+                    n_w + CH - 1, jnp.int32(CH)
+                )
+                carry = jax.lax.fori_loop(0, steps, body, carry)
             else:
-                n_w = W
-
-                def los_get(kk):
-                    return kk
-
-            CH = _SHADOW_CHUNK
-
-            def body(kk, a, _n=n_w):
-                for b_i in range(CH):
-                    k2 = kk * CH + b_i
-                    a = los_fold(
-                        _read_patched(
-                            los_get(
-                                jnp.minimum(k2, jnp.maximum(_n - 1, 0))
-                            )
-                        ),
-                        a,
-                        valid=k2 < _n,
-                    )
-                return a
-
-            steps = (
-                (n_w + CH - 1) // CH
-                if isinstance(n_w, int)
-                else jax.lax.div(n_w + CH - 1, jnp.int32(CH))
-            )
-            carry = jax.lax.fori_loop(0, steps, body, carry)
+                for w in range(W):
+                    carry = los_fold(read_patched(w), carry)
             if soft_mode and want_grad:
                 blk, gblk_x, gblk_y = carry
             else:
@@ -2390,13 +2388,12 @@ def build_power_map_kernel_looped(
                     ),
                 ]
 
-        shadow_inputs = []
-        shadow_specs = []
+        # Shadow-wall occluder lists: the blocked loops for the
+        # first/last/LOS segments trip over these lists.  With
+        # shadow=False the lists are the identity (count W) -- the
+        # kernel program is identical either way, so the toggle stays
+        # bit-identical by construction.
         if shadow:
-            # Shadow-wall occluder lists: the blocked loops for the
-            # first/last/LOS segments trip over these short lists
-            # instead of all W walls (see shadow_wall_lists for the
-            # bit-identity argument).
             l0dat, l0cnt, ldat, lcnt, sdat, scnt = shadow_wall_lists(
                 walls32,
                 kind,
@@ -2408,19 +2405,33 @@ def build_power_map_kernel_looped(
                 pyt.min(axis=1), pyt.max(axis=1),
                 sigmoid=sigmoid,
             )
-            shadow_inputs = [l0dat, l0cnt, ldat, lcnt, sdat, scnt]
-            smem_all = pl.BlockSpec(memory_space=pltpu.SMEM)
-            per_tile = lambda shape: pl.BlockSpec(  # noqa: E731
-                shape, lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+        else:
+            ident = jnp.broadcast_to(
+                jnp.arange(W, dtype=jnp.int32), (W, W)
             )
-            shadow_specs = [
-                smem_all,                    # l0dat [W*W]
-                smem_all,                    # l0cnt [W]
-                per_tile((1, W, W)),         # lastdat [T, W, W]
-                per_tile((1, 1, W)),         # lastcnt [T, 1, W]
-                per_tile((1, 1, W)),         # losdat [T, 1, W]
-                per_tile((1, 1, 1)),         # loscnt [T, 1, 1]
-            ]
+            full_w = jnp.full((W,), W, jnp.int32)
+            l0dat = ident.reshape(-1)
+            l0cnt = full_w
+            ldat = jnp.broadcast_to(ident, (n_tiles, W, W))
+            lcnt = jnp.broadcast_to(full_w[None, None, :], (n_tiles, 1, W))
+            sdat = jnp.broadcast_to(
+                jnp.arange(W, dtype=jnp.int32)[None, None, :],
+                (n_tiles, 1, W),
+            )
+            scnt = jnp.full((n_tiles, 1, 1), W, jnp.int32)
+        shadow_inputs = [l0dat, l0cnt, ldat, lcnt, sdat, scnt]
+        smem_all = pl.BlockSpec(memory_space=pltpu.SMEM)
+        per_tile = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+        )
+        shadow_specs = [
+            smem_all,                    # l0dat [W*W]
+            smem_all,                    # l0cnt [W]
+            per_tile((1, W, W)),         # lastdat [T, W, W]
+            per_tile((1, 1, W)),         # lastcnt [T, 1, W]
+            per_tile((1, 1, W)),         # losdat [T, 1, W]
+            per_tile((1, 1, 1)),         # loscnt [T, 1, 1]
+        ]
 
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         tile_spec = pl.BlockSpec(

@@ -71,6 +71,29 @@ _SIGMOID_Z1 = 20.0
 # hard_sigmoid saturates at |z| >= 3 on both sides.
 _HARD_Z = 3.0
 
+_SIGMOID_SATURATES: dict = {}
+
+
+def _sigmoid_saturates() -> bool:
+    """Verify the f32 sigmoid saturation thresholds on THIS backend.
+
+    The Z0/Z1 constants were measured under flush-to-zero exp underflow;
+    a strict-IEEE lowering could keep subnormal tails alive down to
+    z ~ -104, which would make sigmoid culling non-bit-identical.  One
+    tiny device computation per (process, backend) confirms the margins
+    actually hold before sigmoid maps are allowed to cull.
+    """
+    backend = jax.default_backend()
+    hit = _SIGMOID_SATURATES.get(backend)
+    if hit is None:
+        z = jnp.asarray(
+            [-(_SIGMOID_Z0 - 1.0), _SIGMOID_Z1 - 1.0], jnp.float32
+        )
+        lo, hi = np.asarray(jax.jit(jax.nn.sigmoid)(z))
+        hit = bool(lo == 0.0 and hi == 1.0)
+        _SIGMOID_SATURATES[backend] = hit
+    return hit
+
 
 def _soft(x, alpha, sigmoid: bool):
     """activation(x) = f(alpha * x); reference logic.py:220-255."""
@@ -2788,8 +2811,18 @@ def pallas_power_map(
         # fail loudly unless every output bit matches -- the empirical
         # guard behind the interval pads (_CULL_PAD_ABS/REL).  Costs a
         # full second map per call; enable in tests / one bench run.
-        prev = os.environ.get("DIFFERT2D_TPU_CULL")
-        os.environ["DIFFERT2D_TPU_CULL"] = "0"
+        overrides = {
+            "DIFFERT2D_TPU_CULL": "0",
+            "DIFFERT2D_TPU_SHADOW": "0",
+            # Same kernel FAMILY as the culled run: with CULL=0 the
+            # order>=2 crossover would fall back to the unrolled
+            # kernel, whose blocked-test numerics differ by design
+            # (flip-rate contract) -- the canary must compare
+            # looped-vs-looped.
+            "DIFFERT2D_TPU_FORCE_LOOPED": "1",
+        }
+        prev = {k: os.environ.get(k) for k in overrides}
+        os.environ.update(overrides)
         try:
             run_ref = get_fused_run(
                 arrays,
@@ -2801,10 +2834,11 @@ def pallas_power_map(
                 mode="value_and_grad" if want_grad else "value",
             )
         finally:
-            if prev is None:
-                os.environ.pop("DIFFERT2D_TPU_CULL", None)
-            else:
-                os.environ["DIFFERT2D_TPU_CULL"] = prev
+            for k, v in prev.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
         entry_ref = _get_entry(
             run_ref, grad, value_and_grad,
             (alpha, tol, patch, r_coef, height),
@@ -2991,6 +3025,13 @@ def get_fused_run(
             and os.environ.get("DIFFERT2D_TPU_CULL", "1") != "0"
         ):
             use_looped = True
+        if os.environ.get("DIFFERT2D_TPU_FORCE_LOOPED") == "1":
+            # Pin the kernel FAMILY while toggling cull/shadow: the
+            # unrolled kernel computes the blocked test in the
+            # pre-m6 form, so cross-family comparisons are not
+            # bit-identical (the canary and A/B harnesses need
+            # same-family references).
+            use_looped = True
     # Tile-beam candidate culling (bit-identical skipping of candidates
     # whose contribution is exactly zero everywhere in a pixel tile) is
     # sound exactly when zero contributions ARE exact: hard logic, or
@@ -3009,9 +3050,11 @@ def get_fused_run(
         and bool(np.any(kinds_np[np.asarray(g)] != KIND_VERTEX))
         for o, g in groups.items()
     )
+    sig_ok = not (approx and sigmoid) or _sigmoid_saturates()
     cull = (
         use_looped
         and any_cullable
+        and sig_ok
         and os.environ.get("DIFFERT2D_TPU_CULL", "1") != "0"
     )
     # Shadow-wall occluder lists share culling's exactness premise
@@ -3021,6 +3064,7 @@ def get_fused_run(
     # unrolled kernel stays list-free.
     shadow = (
         use_looped
+        and sig_ok
         and os.environ.get("DIFFERT2D_TPU_SHADOW", "1") != "0"
     )
     group_key = tuple(
@@ -3036,6 +3080,13 @@ def get_fused_run(
             interpret,
             cull,
             shadow,
+            # Build-time env knobs: baked into the trace, so they must
+            # key the cache or an in-process A/B toggle would silently
+            # reuse the stale kernel.
+            os.environ.get("DIFFERT2D_TPU_CULL_OCCLUSION", "0"),
+            os.environ.get("DIFFERT2D_TPU_CULL_REFINE", ""),
+            os.environ.get("DIFFERT2D_TPU_BLOCK_ROWS", ""),
+            os.environ.get("DIFFERT2D_TPU_SHADOW_CHUNK", ""),
         )
     else:
         cache_key = (
@@ -3054,6 +3105,14 @@ def get_fused_run(
         return run
 
     if use_looped:
+        looped_rows = int(
+            os.environ.get(
+                "DIFFERT2D_TPU_BLOCK_ROWS",
+                ("8" if total_candidates > 1000 else "16")
+                if (cull or shadow)
+                else "32",
+            )
+        )
         looped = build_power_map_kernel_looped(
             int(walls_np.shape[0]),
             groups,
@@ -3080,14 +3139,7 @@ def get_fused_run(
             # at 8-row tiles with refine=4 (323 vs 397 ms/map) -- small
             # tiles buy tighter per-tile candidate culling exactly when
             # there are many candidates to cull.
-            block_rows=int(
-                os.environ.get(
-                    "DIFFERT2D_TPU_BLOCK_ROWS",
-                    ("8" if total_candidates > 1000 else "16")
-                    if (cull or shadow)
-                    else "32",
-                )
-            ),
+            block_rows=looped_rows,
         )
 
         def run(pixels, txs, walls, kind, phi, scalars):
@@ -3157,8 +3209,13 @@ def get_fused_run(
     # permutation when the grid shape allows it.
     run._culled = cull
     run._shadowed = shadow
-    # 32x32 spatial blocks = one 8-row kernel tile per block.
-    run._pixel_block = (32, 32) if (cull or shadow) else None
+    # One spatial block = ONE kernel tile (block_rows x 128 pixels laid
+    # out as a 32 x (4 * block_rows) rectangle): every tile's bounding
+    # box is a compact rectangle, never a wrap-around strip, so the
+    # per-tile cull tables and shadow lists stay tight at any tile size.
+    run._pixel_block = (
+        (32, 4 * looped_rows) if use_looped and (cull or shadow) else None
+    )
     _KERNEL_CACHE[cache_key] = run
     while len(_KERNEL_CACHE) > _KERNEL_CACHE_MAX:
         _KERNEL_CACHE.popitem(last=False)

@@ -877,7 +877,7 @@ def test_cull_dispatch_flags(monkeypatch):
     groups = path_candidate_matrices(arrays.num_objects, 0, 1)
     kw = dict(n_tx=1, interpret=True, mode="value")
     run = get_fused_run(arrays, groups, approx=True, sigmoid=False, **kw)
-    assert run._culled and run._pixel_block == (32, 32)
+    assert run._culled and run._pixel_block == (32, 64)
     run = get_fused_run(arrays, groups, approx=True, sigmoid=True, **kw)
     assert run._culled  # sigmoid culls via the f32 saturation bands
     run = get_fused_run(arrays, groups, approx=False, sigmoid=False, **kw)
@@ -1129,12 +1129,15 @@ def test_occlusion_tables_prove_shadow():
 
 
 @pytest.mark.parametrize("mode", ["value", "value_and_grad"])
-def test_occlusion_cull_bitwise(mode):
+def test_occlusion_cull_bitwise(mode, monkeypatch):
     """Culled vs unculled looped kernel stays bit-identical on a scene
     where the OCCLUSION proof fires (not just the beam proof)."""
     from differt2d_tpu.ops.pallas_kernels import build_power_map_kernel_looped
     from differt2d_tpu.rt import path_candidate_matrices
 
+    # The builder reads this at trace time; without it the occlusion
+    # proof never runs and the test only re-covers the beam proof.
+    monkeypatch.setenv("DIFFERT2D_TPU_CULL_OCCLUSION", "1")
     scene = _occl_scene_args()
     arrays, pix, scal = _looped_args(scene, n=64)
     groups = path_candidate_matrices(arrays.num_objects, 0, 2)
@@ -1243,8 +1246,8 @@ def test_shadow_lists_hard_logic_bitwise():
 
 
 def test_shadow_dispatch_flags():
-    """Auto dispatch enables shadow lists with culling on looped kernels
-    and keeps sigmoid maps unlisted."""
+    """Auto dispatch enables shadow lists on looped kernels -- including
+    sigmoid maps, which list via the wider f32 saturation bands."""
     from differt2d_tpu.ops.pallas_kernels import get_fused_run
     from differt2d_tpu.rt import path_candidate_matrices
     from differt2d_tpu.tracer import scene_arrays

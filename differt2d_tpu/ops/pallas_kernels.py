@@ -1234,7 +1234,21 @@ def beam_keep_tables(
                 j = o - 1 - jj
                 nlo, nhi = iv(num)
                 dlo, dhi = iv(den)
-                sign_def = _sign_def((dlo, dhi)) & dd_ok[None, :]
+                # Sign-definiteness with a margin: the kernel's f32
+                # arithmetic can land exactly on un == 0 (triggering
+                # the b = q guard) even when the interval excludes 0 by
+                # a hair, so proofs only trust denominators bounded away
+                # from zero by ~100x the f32 evaluation error (1e-7 x
+                # magnitude).  NOT the t-interval pads: intervals here
+                # legitimately span orders of magnitude, and a 1e-3
+                # relative margin was measured to disqualify enough
+                # culls to slow city order-2 maps 5x.
+                padd = 1e-6 + 1e-5 * jnp.maximum(
+                    jnp.abs(dlo), jnp.abs(dhi)
+                )
+                sign_def = (
+                    (dlo > padd) | (dhi < -padd)
+                ) & dd_ok[None, :]
                 t_iv = _idiv((nlo, nhi), (dlo, dhi))
                 out_of_band = _pad_outside(t_iv, lo_thr, hi_thr)
                 is_vtx = is_vtx_c[None, :]
@@ -1330,7 +1344,7 @@ def beam_keep_tables(
 
 def shadow_wall_lists(
     walls32, kind, tx, patch, alpha, approx, x0, x1, y0, y1,
-    sigmoid=False,
+    sigmoid=False, tol=None,
 ):
     """Per-wall / per-tile occluder index lists for the blocked test.
 
@@ -1413,24 +1427,63 @@ def shadow_wall_lists(
         cnt = jnp.sum(mask, axis=-1).astype(jnp.int32)
         return prm, cnt
 
+    # The un == 0 hazard gate.  The kernel's bounce guard pins b = q
+    # when (q - image) . n == 0 exactly, detaching the bounce from its
+    # wall's locus and voiding the hull argument.  BUT a zero
+    # denominator collapses that bounce's outgoing segment to zero
+    # length, so its specular residual is |reflect(ihat)|^2 = 1 exactly
+    # and loss >= 1 (ihat = 0 would need the upstream point to coincide
+    # too, which chains back to TX -- only a wall through TX breaks
+    # this).  Whenever the loss gate saturates at loss >= 1, i.e.
+    # alpha * (1 - tol) clears the activation's zero threshold, every
+    # un == 0 pixel has valid == 0 with exactly-zero gradients and the
+    # lists stay bit-identical.  Otherwise (tiny alpha / huge tol) the
+    # lists fall back to the identity: counts = W -- a traced select,
+    # so one compiled kernel serves both regimes.
+    z_need = _SIGMOID_Z0 if (approx and sigmoid) else _HARD_Z
+    tol_f = (
+        jnp.asarray(tol, jnp.float32)
+        if tol is not None
+        else jnp.float32(0.01)
+    )
+    if approx:
+        hz_free = alpha.astype(jnp.float32) * (1.0 - tol_f - 0.02) >= (
+            z_need + 1.0
+        )
+    else:
+        # Hard logic: valid needs loss < tol, impossible at loss >= 1
+        # unless tol >= 1.
+        hz_free = tol_f < 0.98
+
+    def _gate(dat, cnt):
+        ident = jnp.broadcast_to(
+            jnp.arange(W, dtype=jnp.int32), dat.shape
+        )
+        return (
+            jnp.where(hz_free, dat, ident),
+            jnp.where(hz_free, cnt, jnp.int32(W)),
+        )
+
     tx32 = jnp.asarray(tx, jnp.float32)
     # Segment 0: hull(TX, dilated w0) per first wall.
     h0lo = jnp.minimum(tx32[None, :], llo)
     h0hi = jnp.maximum(tx32[None, :], lhi)
-    l0dat, l0cnt = lists_from_hulls(h0lo, h0hi, jnp.arange(W))
+    l0dat, l0cnt = _gate(*lists_from_hulls(h0lo, h0hi, jnp.arange(W)))
 
     # Last segment: hull(tile, dilated w_last) per (tile, wall).
     tlo = jnp.stack([x0, y0], axis=-1)  # [T, 2]
     thi = jnp.stack([x1, y1], axis=-1)
     hllo = jnp.minimum(tlo[:, None, :], llo[None, :, :])  # [T, W, 2]
     hlhi = jnp.maximum(thi[:, None, :], lhi[None, :, :])
-    ldat, lcnt = lists_from_hulls(
+    ldat, lcnt = _gate(*lists_from_hulls(
         hllo, hlhi, jnp.broadcast_to(jnp.arange(W)[None, :], (T, W))
-    )
+    ))
 
     # LOS: hull(TX, tile) per tile.
     hslo = jnp.minimum(tx32[None, :], tlo)
     hshi = jnp.maximum(tx32[None, :], thi)
+    # LOS has no bounce (its segment is TX -> pixel exactly), so the
+    # hazard gate does not apply.
     sdat, scnt = lists_from_hulls(hslo, hshi)
 
     return (
@@ -2427,6 +2480,7 @@ def build_power_map_kernel_looped(
                 pxt.min(axis=1), pxt.max(axis=1),
                 pyt.min(axis=1), pyt.max(axis=1),
                 sigmoid=sigmoid,
+                tol=scalars[1],
             )
         else:
             ident = jnp.broadcast_to(

@@ -1177,8 +1177,11 @@ def test_cull_check_canary_passes_and_detects(monkeypatch):
 
     def poisoned(*args, **kwargs):
         # Maximally unsound: cull every candidate everywhere.
-        keep = real(*args, **kwargs)
-        return {o: jnp.zeros_like(k) for o, k in keep.items()}
+        out = real(*args, **kwargs)
+        if kwargs.get("return_unsafe"):
+            keep, unsafe = out
+            return {o: jnp.zeros_like(k) for o, k in keep.items()}, unsafe
+        return {o: jnp.zeros_like(k) for o, k in out.items()}
 
     monkeypatch.setattr(K, "beam_keep_tables", poisoned)
     K._KERNEL_CACHE.clear()
@@ -1309,3 +1312,80 @@ def test_shadow_wall_lists_shapes_and_soundness():
                 )
                 if hit > 0.0:
                     assert w in lst, (t, w, hit)
+
+
+def test_shadow_hazard_gate_falls_back_at_small_alpha():
+    """The un == 0 hazard gate: shadow lists fall back to identity
+    (count == W) when alpha*(1 - tol) cannot saturate the loss gate --
+    at such settings an exactly-on-the-image-plane pixel could carry a
+    nonzero contribution whose blocked test needs ALL walls."""
+    from differt2d_tpu.ops.pallas_kernels import shadow_wall_lists
+    from differt2d_tpu.tracer import scene_arrays
+
+    scene = Scene.city_extract_scene()
+    arrays = scene_arrays(scene)
+    walls32 = jnp.asarray(arrays.walls, jnp.float32)
+    W = int(walls32.shape[0])
+    tx = scene.transmitters["tx"].xy
+    x0 = jnp.asarray([0.0], jnp.float32)
+    x1 = jnp.asarray([0.5], jnp.float32)
+    y0 = jnp.asarray([0.0], jnp.float32)
+    y1 = jnp.asarray([0.5], jnp.float32)
+    kw = dict(sigmoid=False, tol=jnp.float32(1e-2))
+    # Normal alpha: the gate is open and lists prune.
+    _, l0cnt, _, lcnt, _, _ = shadow_wall_lists(
+        walls32, arrays.kind, tx, jnp.float32(0.0), jnp.float32(100.0),
+        True, x0, x1, y0, y1, **kw,
+    )
+    assert float(jnp.mean(l0cnt)) < W
+    # Tiny alpha (loss gate cannot saturate): identity fallback.
+    _, l0cnt2, _, lcnt2, _, _ = shadow_wall_lists(
+        walls32, arrays.kind, tx, jnp.float32(0.0), jnp.float32(2.0),
+        True, x0, x1, y0, y1, **kw,
+    )
+    assert bool(jnp.all(l0cnt2 == W)) and bool(jnp.all(lcnt2 == W))
+    # Huge tol under hard logic: same fallback.
+    _, l0cnt3, _, _, _, _ = shadow_wall_lists(
+        walls32, arrays.kind, tx, jnp.float32(0.0), jnp.float32(100.0),
+        False, x0, x1, y0, y1, sigmoid=False, tol=jnp.float32(2.0),
+    )
+    assert bool(jnp.all(l0cnt3 == W))
+
+
+@pytest.mark.parametrize("alpha", [2.0, 100.0])
+def test_shadow_bitwise_on_image_plane_grid(alpha):
+    """Bitwise shadow on/off on a grid that contains a candidate's
+    image plane EXACTLY (pixels at y = 0 with the wall's TX image at
+    y = 0 trigger the kernel's un == 0 bounce guard), at both a
+    saturating and a non-saturating alpha."""
+    from differt2d_tpu.ops.pallas_kernels import build_power_map_kernel_looped
+
+    walls = jnp.asarray([
+        [[0.2, 0.25], [0.8, 0.25]],   # candidate: image of TX at y = 0
+        [[0.05, -0.4], [0.05, 1.4]],  # far-left occluder
+    ], jnp.float32)
+    kind = jnp.zeros(2, jnp.int32)
+    phi = jnp.zeros(2, jnp.float32)
+    tx = jnp.asarray([0.5, 0.5], jnp.float32)
+    n = 32
+    xs = jnp.linspace(0.0, 1.0, n)  # includes the exact y = 0 row
+    X, Y = jnp.meshgrid(xs, xs)
+    pix = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+    scal = jnp.array([alpha, 1e-2, 0.0, 0.5, 0.1], dtype=jnp.float32)
+    groups = {1: np.asarray([[0]], np.int32)}
+    outs = []
+    for shadow in (False, True):
+        for sig in (False, True):
+            run = build_power_map_kernel_looped(
+                2, groups, approx=True, sigmoid=sig, interpret=True,
+                block_rows=8, cull=False, shadow=shadow, mode="value",
+            )
+            outs.append(
+                (sig, shadow,
+                 np.asarray(run(pix, tx, walls, kind, phi, scal)))
+            )
+    by = {(sg, sh): o for sg, sh, o in outs}
+    for sig in (False, True):
+        assert np.array_equal(by[(sig, False)], by[(sig, True)]), (
+            f"sigmoid={sig} alpha={alpha}"
+        )

@@ -655,12 +655,14 @@ def build_power_map_kernel(
                     else:
                         on = on & ((t >= 0.0) & (t <= 1.0))
 
-                # --- blocked (running-max gradient with want_grad)
-                if soft_mode:
+                # --- blocked (running-max gradient with want_grad;
+                # value path folds the deferred-clamp margin
+                # (_seg_intersect_m6) and converts once per candidate)
+                if soft_mode and want_grad:
                     blk = jnp.zeros_like(px)
                     gblk_x, gblk_y = zeros, zeros
                 else:
-                    blk = jnp.zeros_like(px, dtype=jnp.bool_)
+                    blk = jnp.full_like(px, -jnp.inf)
                 idx = [-1, *cand, -1]
                 for seg in range(order + 1):
                     skip = {idx[seg], idx[seg + 1]} - {-1}
@@ -689,15 +691,13 @@ def build_power_map_kernel(
                             gblk_y = _max_grad_sel(blk, hit, gblk_y, ghy)
                             blk = jnp.maximum(blk, hit)
                         else:
-                            hit = _seg_intersect(
+                            m = _seg_intersect_m6(
                                 wa_x, wa_y, wb_x, wb_y, sax, say, sbx, sby,
                                 soft_mode, alpha,
                             )
-                            blk = (
-                                jnp.maximum(blk, hit)
-                                if soft_mode
-                                else (blk | hit)
-                            )
+                            blk = jnp.maximum(blk, m)
+                if not (soft_mode and want_grad):
+                    blk = _blk_from_m6(blk, soft_mode)
 
                 # --- validity (arg-min gradient selection with want_grad)
                 if soft_mode:

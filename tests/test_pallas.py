@@ -643,7 +643,10 @@ def test_vag_value_halves_match_value_mode():
                                   interpret=True, mode="value_and_grad")
     u0 = uval(pixels, tx, arrays.phi, scalars)
     u1, _ = uvag(pixels, tx, arrays.phi, scalars)
-    chex.assert_trees_all_close(u0, u1, rtol=1e-6, atol=2e-6)
+    # Unrolled value path also runs the deferred-clamp blocked form now,
+    # so the pair agrees to reassociation-ULP tolerance like the looped
+    # one.
+    chex.assert_trees_all_close(u0, u1, rtol=1e-4, atol=1e-5)
 
 
 def test_looped_analytic_vag_mixed_kinds_matches_vjp():

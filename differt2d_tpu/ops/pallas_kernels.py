@@ -1145,7 +1145,7 @@ def beam_keep_tables(
             num = tuple(k1 * u[t] + c_c * av[t] for t in range(3))
             den = tuple(dd * u[t] for t in range(3))
             is_vtx_c = kind_i32[li] == KIND_VERTEX
-            bounce_tests.append((num, den, is_vtx_c, dd > 0.0))
+            bounce_tests.append((num, den, is_vtx_c, dd > 0.0, dd))
             # Next (deeper) bounce's q (path point j+1).  Vertex: pinned
             # to the wall's A point exactly (guard-free).  Wall/RIS: the
             # projective step -- valid per box only where u is
@@ -1201,6 +1201,22 @@ def beam_keep_tables(
                 ),
             )
 
+        # Coordinate scale feeding the kernel's un evaluation for this
+        # order: wall endpoints, pixel boxes, and the (mirrored, so
+        # possibly larger) image chain.
+        scale2 = (
+            jnp.maximum(
+                jnp.max(jnp.abs(walls32)),
+                jnp.maximum(
+                    jnp.max(jnp.abs(imgs)) if imgs.size else 0.0,
+                    jnp.maximum(
+                        jnp.max(jnp.abs(x0)), jnp.max(jnp.abs(y1))
+                    ),
+                ),
+            )
+            ** 2
+        )
+
         # ---- Phase 2: per sub-box, prove the candidate contributes
         # exact zeros (beam OR occlusion proof); AND-reduce to the tile.
         # gb sub-boxes are processed per scan step, vectorized along the
@@ -1230,7 +1246,9 @@ def beam_keep_tables(
             alive = jnp.ones((B, C), bool)
             point_valid = [None] * (o + 2)
             point_valid[o + 1] = alive
-            for jj, (num, den, is_vtx_c, dd_ok) in enumerate(bounce_tests):
+            for jj, (num, den, is_vtx_c, dd_ok, dd) in enumerate(
+                bounce_tests
+            ):
                 j = o - 1 - jj
                 nlo, nhi = iv(num)
                 dlo, dhi = iv(den)
@@ -1238,12 +1256,16 @@ def beam_keep_tables(
                 # arithmetic can land exactly on un == 0 (triggering
                 # the b = q guard) even when the interval excludes 0 by
                 # a hair, so proofs only trust denominators bounded away
-                # from zero by ~100x the f32 evaluation error (1e-7 x
-                # magnitude).  NOT the t-interval pads: intervals here
-                # legitimately span orders of magnitude, and a 1e-3
-                # relative margin was measured to disqualify enough
-                # culls to slow city order-2 maps 5x.
-                padd = 1e-6 + 1e-5 * jnp.maximum(
+                # from zero by ~100x the f32 evaluation error.  The
+                # kernel evaluates un = (q - image).n with operands of
+                # coordinate scale, so its absolute error is
+                # ~1e-7 * scale^2; the interval here is den = dd * u,
+                # hence the floor is dd-scaled: 1e-5 * scale^2 * dd.
+                # NOT the t-interval pads: intervals here legitimately
+                # span orders of magnitude, and a 1e-3 relative margin
+                # was measured to disqualify enough culls to slow city
+                # order-2 maps 5x.
+                padd = 1e-5 * scale2 * dd[None, :] + 1e-5 * jnp.maximum(
                     jnp.abs(dlo), jnp.abs(dhi)
                 )
                 sign_def = (
@@ -1454,6 +1476,18 @@ def shadow_wall_lists(
         # Hard logic: valid needs loss < tol, impossible at loss >= 1
         # unless tol >= 1.
         hz_free = tol_f < 0.98
+    # The loss >= 1 argument chains back to TX (ihat_1 != 0); a wall
+    # LINE passing exactly through TX is the one scene class that
+    # breaks it, so such scenes fall back to identity lists too.
+    tx32_g = jnp.asarray(tx, jnp.float32)
+    nrm = jnp.stack([d[:, 1], -d[:, 0]], axis=-1)
+    nlen = jnp.sqrt(jnp.sum(nrm * nrm, axis=-1))
+    tx_dist = jnp.abs(jnp.sum((tx32_g[None, :] - a) * nrm, axis=-1))
+    scale = jnp.maximum(jnp.max(jnp.abs(walls32)), 1.0)
+    wall_thru_tx = (nlen > 0.0) & (
+        tx_dist <= 1e-4 * scale * jnp.maximum(nlen, 1e-30)
+    )
+    hz_free = hz_free & jnp.logical_not(jnp.any(wall_thru_tx & occ_ok))
 
     def _gate(dat, cnt):
         ident = jnp.broadcast_to(
@@ -3080,11 +3114,12 @@ def get_fused_run(
         ):
             use_looped = True
         if os.environ.get("DIFFERT2D_TPU_FORCE_LOOPED") == "1":
-            # Pin the kernel FAMILY while toggling cull/shadow: the
-            # unrolled kernel computes the blocked test in the
-            # pre-m6 form, so cross-family comparisons are not
-            # bit-identical (the canary and A/B harnesses need
-            # same-family references).
+            # Pin the kernel FAMILY while toggling cull/shadow: both
+            # families use the m6 blocked form now, but compilers
+            # contract floats differently in fori bodies than in the
+            # unrolled kernel's straight-line code, so cross-family
+            # comparisons are still not bit-identical (the canary and
+            # A/B harnesses need same-family references).
             use_looped = True
     # Tile-beam candidate culling (bit-identical skipping of candidates
     # whose contribution is exactly zero everywhere in a pixel tile) is

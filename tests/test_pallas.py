@@ -1180,11 +1180,8 @@ def test_cull_check_canary_passes_and_detects(monkeypatch):
 
     def poisoned(*args, **kwargs):
         # Maximally unsound: cull every candidate everywhere.
-        out = real(*args, **kwargs)
-        if kwargs.get("return_unsafe"):
-            keep, unsafe = out
-            return {o: jnp.zeros_like(k) for o, k in keep.items()}, unsafe
-        return {o: jnp.zeros_like(k) for o, k in out.items()}
+        keep = real(*args, **kwargs)
+        return {o: jnp.zeros_like(k) for o, k in keep.items()}
 
     monkeypatch.setattr(K, "beam_keep_tables", poisoned)
     K._KERNEL_CACHE.clear()
@@ -1379,16 +1376,24 @@ def test_shadow_bitwise_on_image_plane_grid(alpha):
     outs = []
     for shadow in (False, True):
         for sig in (False, True):
-            run = build_power_map_kernel_looped(
-                2, groups, approx=True, sigmoid=sig, interpret=True,
-                block_rows=8, cull=False, shadow=shadow, mode="value",
-            )
-            outs.append(
-                (sig, shadow,
-                 np.asarray(run(pix, tx, walls, kind, phi, scal)))
-            )
-    by = {(sg, sh): o for sg, sh, o in outs}
+            for mode in ("value", "value_and_grad"):
+                run = build_power_map_kernel_looped(
+                    2, groups, approx=True, sigmoid=sig, interpret=True,
+                    block_rows=8, cull=False, shadow=shadow, mode=mode,
+                )
+                outs.append(
+                    (sig, mode, shadow,
+                     jax.tree.map(
+                         np.asarray,
+                         run(pix, tx, walls, kind, phi, scal),
+                     ))
+                )
+    by = {(sg, md, sh): o for sg, md, sh, o in outs}
     for sig in (False, True):
-        assert np.array_equal(by[(sig, False)], by[(sig, True)]), (
-            f"sigmoid={sig} alpha={alpha}"
-        )
+        for mode in ("value", "value_and_grad"):
+            a = jax.tree.leaves(by[(sig, mode, False)])
+            b = jax.tree.leaves(by[(sig, mode, True)])
+            for xa, xb in zip(a, b):
+                assert np.array_equal(xa, xb), (
+                    f"sigmoid={sig} mode={mode} alpha={alpha}"
+                )

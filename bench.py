@@ -70,17 +70,46 @@ def _paired_slope(run, k, reps):
     return max(median, 1e-9)
 
 
-def chained_map_time(map_fn, pixels, k=10, reps=2):
+def _scan_slope(make_runner, arg, k, reps):
+    """Slope timing over single-dispatch scan runners.
+
+    ``make_runner(kk)`` returns a jitted callable whose ONE dispatch
+    executes ``kk`` data-chained map evaluations on device (via
+    ``lax.scan``) and returns a scalar. Both lengths are compiled before
+    any timed window.
+    """
+    r1, rk = make_runner(1), make_runner(k)
+    float(r1(arg))
+    float(rk(arg))
+
+    def run(kk):
+        r = r1 if kk == 1 else rk
+        t0 = time.perf_counter()
+        float(r(arg))
+        return time.perf_counter() - t0
+
+    return _paired_slope(run, k, reps)
+
+
+def chained_map_time(map_fn, pixels, k=10, reps=2, scan=True):
     """Per-map seconds for ``map_fn(pixels[P, 2]) -> values``.
 
     Runs ``k`` maps chained by a data dependency (each map's output
     perturbs the next map's input by 1e-20, forcing true sequential
     device execution) with ONE host materialization at the end, then
     removes the fixed round-trip cost via the per-rep slope
-    ``(t(k) - t(1)) / (k - 1)`` (median over reps). This is the only
-    methodology that survives this tunnel: async timing under-reports
-    (non-blocking "block_until_ready") and per-call host reads
-    over-report (a ~30 ms round trip per map).
+    ``(t(k) - t(1)) / (k - 1)`` (median over reps).
+
+    With ``scan=True`` (default) the ``k`` maps run inside ONE jitted
+    ``lax.scan`` dispatch. The host-loop variant enqueues each map
+    separately; through this tunnel, host dispatch costs ~1 ms per
+    enqueue, so for sub-ms maps the loop measures DISPATCH throughput,
+    not device compute (measured 2026-08-20: the north-star kernel
+    timed 2.0 ms/map via the host loop vs a stable 0.78-0.94 ms/map
+    via scan in the same session). Falls back to the host loop when
+    ``map_fn`` cannot trace under scan (and for slow maps where two
+    extra scan-body compiles cost more than they remove, pass
+    ``scan=False``).
     """
     P = pixels.shape[0]
 
@@ -89,10 +118,31 @@ def chained_map_time(map_fn, pixels, k=10, reps=2):
         flat = jnp.asarray(out).reshape(-1)[:P]
         return px + 1e-20 * flat[:, None]
 
+    # Eager warmup: compiles the un-scanned path AND populates the
+    # library's per-scene caches with concrete arrays (scene_arrays
+    # computed for the first time under a scan trace would be traced,
+    # breaking the kernel builders' np.asarray baking).
     out = map_fn(pixels)
     first = out[0] if isinstance(out, tuple) else out
     float(jnp.sum(first))  # compile + warm, real materialization
     float(jnp.sum(chain(pixels, first)[0]))
+
+    if scan:
+        def make_runner(kk):
+            @jax.jit
+            def run(px):
+                def body(p, _):
+                    o = map_fn(p)
+                    o = o[0] if isinstance(o, tuple) else o
+                    return chain(px, o), None
+                p, _ = jax.lax.scan(body, px, None, length=kk)
+                return jnp.sum(p)
+            return run
+
+        try:
+            return _scan_slope(make_runner, pixels, k, reps)
+        except Exception as e:  # pragma: no cover - backend-specific
+            _log(f"scan timing unavailable ({type(e).__name__}); host loop")
 
     def run(kk):
         t0 = time.perf_counter()
@@ -108,7 +158,7 @@ def chained_map_time(map_fn, pixels, k=10, reps=2):
     return _paired_slope(run, k, reps)
 
 
-def chained_grid_map_time(map_fn, X, Y, k=10, reps=2):
+def chained_grid_map_time(map_fn, X, Y, k=10, reps=2, scan=True):
     """Per-map seconds for ``map_fn(X, Y) -> Z`` on 2-D receiver grids.
 
     Grid-level variant of :func:`chained_map_time`: the chain perturbs
@@ -117,6 +167,10 @@ def chained_grid_map_time(map_fn, X, Y, k=10, reps=2):
     dominate (~0.3 ms of tunnel latency each) and would be billed to
     the library.  A real caller holds ready-made grids, so this is the
     honest end-to-end cost of ``power_map(scene, X, Y)``.
+
+    ``scan=True`` chains the ``k`` maps inside one jitted ``lax.scan``
+    dispatch (see :func:`chained_map_time` for why the host loop
+    under-measures sub-ms maps through this tunnel).
     """
 
     @jax.jit
@@ -125,8 +179,25 @@ def chained_grid_map_time(map_fn, X, Y, k=10, reps=2):
 
     Z = map_fn(X, Y)
     Z = Z[0] if isinstance(Z, tuple) else Z
-    float(jnp.sum(Z))  # compile + warm, real materialization
+    float(jnp.sum(Z))  # compile + warm, populate concrete scene caches
     float(jnp.sum(chain(X, Z)[0]))
+
+    if scan:
+        def make_runner(kk):
+            @jax.jit
+            def run(X0):
+                def body(Xc, _):
+                    Zc = map_fn(Xc, Y)
+                    Zc = Zc[0] if isinstance(Zc, tuple) else Zc
+                    return chain(X0, Zc), None
+                Xc, _ = jax.lax.scan(body, X0, None, length=kk)
+                return jnp.sum(Xc)
+            return run
+
+        try:
+            return _scan_slope(make_runner, X, k, reps)
+        except Exception as e:  # pragma: no cover - backend-specific
+            _log(f"scan timing unavailable ({type(e).__name__}); host loop")
 
     def run(kk):
         t0 = time.perf_counter()
@@ -140,6 +211,44 @@ def chained_grid_map_time(map_fn, X, Y, k=10, reps=2):
         return time.perf_counter() - t0
 
     return _paired_slope(run, k, reps)
+
+
+def scan_step_time(step_fn, carry, k=20, reps=2):
+    """Per-step seconds for a PURE ``step_fn(carry) -> (carry, scalar)``.
+
+    Chains ``k`` optimizer steps inside ONE jitted ``lax.scan`` dispatch
+    (the carry is the optimizer state, so the chain is the optimization
+    itself). Eliminates the per-step host enqueue that dominates sub-ms
+    steps through this tunnel (:func:`chained_map_time` docstring).
+    Warms twice eagerly first so any weak->strong dtype promotion in the
+    carried parameters settles before the scan traces (a type-unstable
+    carry fails scan; the settled carry is what gets timed).
+    """
+    carry, _ = step_fn(carry)
+    carry, v = step_fn(carry)
+    float(v)
+
+    def make_runner(kk):
+        @jax.jit
+        def run(c0):
+            def body(c, _):
+                c2, val = step_fn(c)
+                return c2, val
+            _, vals = jax.lax.scan(body, c0, None, length=kk)
+            return vals[-1]
+        return run
+
+    try:
+        return _scan_slope(make_runner, carry, k, reps)
+    except Exception as e:  # pragma: no cover - backend-specific
+        _log(f"scan step timing unavailable ({type(e).__name__}); host loop")
+        state = {"c": carry}
+
+        def step_once():
+            state["c"], val = step_fn(state["c"])
+            return val
+
+        return chained_step_time(step_once, k, reps)
 
 
 def chained_step_time(step_once, k=10, reps=2):
@@ -205,7 +314,7 @@ def _inner_main():
     # records a single bench invocation -- the median of 4 paired slopes
     # keeps the recorded number close to the chip's actual steady state.
     fast_t = chained_map_time(
-        lambda p: kernel(p, tx, arrays.phi, scalars), pixels, reps=4
+        lambda p: kernel(p, tx, arrays.phi, scalars), pixels, k=32, reps=4
     )
     points_per_s = pixels.shape[0] / fast_t
     _part(
@@ -236,6 +345,7 @@ def _inner_main():
             p, txs, arrays.walls, arrays.kind, arrays.phi, scalars
         ),
         pixels,
+        k=16,
     )
     grad_points_per_s = pixels.shape[0] / vag_t
     _part(
@@ -247,14 +357,16 @@ def _inner_main():
 
     # --- XLA tracer (the differentiable path) ------------------------------
     xla = jax.jit(make_pixels_fn(scene, max_order=1, approx=True))
-    xla_t = chained_map_time(xla, pixels)
+    # The XLA rows are 10-60 ms/map: host dispatch is <5% there, and
+    # scan-wrapping the big traced graphs would double their compiles.
+    xla_t = chained_map_time(xla, pixels, scan=False)
     xla_points_per_s = pixels.shape[0] / xla_t
 
     # --- XLA tracer value+grad (what the Pallas vag kernel replaces) ------
     xla_vag = jax.jit(
         make_pixels_fn(scene, max_order=1, approx=True, value_and_grad=True)
     )
-    xla_vag_t = chained_map_time(xla_vag, pixels)
+    xla_vag_t = chained_map_time(xla_vag, pixels, scan=False)
     xla_grad_points_per_s = pixels.shape[0] / xla_vag_t
     _part(
         {
@@ -285,6 +397,7 @@ def _inner_main():
         ),
         pixels_b,
         k=5,
+        scan=False,
     )
     base_points_per_s = (nb * nb) / base_t
     _part(
@@ -531,15 +644,20 @@ def full_config_sweep() -> dict:
         updates, state = optimizer.update(g, state)
         return tx + updates, state, v
 
+    def _as_carry_step(step3):
+        """Adapt ``step3(x, opt_state, alpha) -> (x, opt_state, v)`` to the
+        pure ``carry -> (carry, scalar)`` shape :func:`scan_step_time`
+        chains on device."""
+
+        def step(c):
+            x, st = c
+            x, st, v = step3(x, st, 50.0)
+            return (x, st), v
+
+        return step
+
     tx = jnp.array([0.3, 0.6])
-    state = optimizer.init(tx)
-
-    def opt_step():
-        nonlocal tx, state
-        tx, state, v = mpt_step(tx, state, 50.0)
-        return v
-
-    t = chained_step_time(opt_step)
+    t = scan_step_time(_as_carry_step(mpt_step), (tx, optimizer.init(tx)))
     _set("cfg3_mpt_tx_opt_s_per_step", round(t, 4))
 
     # Same step with implicit-function-theorem solver gradients
@@ -565,14 +683,9 @@ def full_config_sweep() -> dict:
         return tx + updates, state, v
 
     tx_i = jnp.array([0.3, 0.6])
-    state_i = optimizer.init(tx_i)
-
-    def opt_step_implicit():
-        nonlocal tx_i, state_i
-        tx_i, state_i, v = mpt_step_implicit(tx_i, state_i, 50.0)
-        return v
-
-    t = chained_step_time(opt_step_implicit)
+    t = scan_step_time(
+        _as_carry_step(mpt_step_implicit), (tx_i, optimizer.init(tx_i))
+    )
     _set("cfg3_mpt_tx_opt_implicit_s_per_step", round(t, 4))
 
     # Same step with FORWARD-mode gradients (2 TX scalars -> 2 vmapped
@@ -586,14 +699,9 @@ def full_config_sweep() -> dict:
         return tx + updates, state, v
 
     tx_f = jnp.array([0.3, 0.6])
-    state_f = optimizer.init(tx_f)
-
-    def opt_step_fwd():
-        nonlocal tx_f, state_f
-        tx_f, state_f, v = mpt_step_fwd(tx_f, state_f, 50.0)
-        return v
-
-    t = chained_step_time(opt_step_fwd)
+    t = scan_step_time(
+        _as_carry_step(mpt_step_fwd), (tx_f, optimizer.init(tx_f))
+    )
     _set("cfg3_mpt_tx_opt_fwd_s_per_step", round(t, 4))
 
     # Config 4: vertex diffraction on a GeoJSON street scene.  The
@@ -634,7 +742,9 @@ def full_config_sweep() -> dict:
     )
     t = chained_grid_map_time(
         lambda Xg, Yg: power_map(city, Xg, Yg, max_order=1, approx=True),
-        Xc, Yc, k=5, reps=3,
+        # culled maps are ~1-2 ms: k=24 in one scan dispatch puts the
+        # chained signal well above the round-trip jitter.
+        Xc, Yc, k=24, reps=3,
     )
     _set("cfg6_city_120walls_order1_pts_per_s", round(256 * 256 / t, 1))
     # %VPU-peak only makes sense against the unculled FLOP model, so the
@@ -663,7 +773,7 @@ def full_config_sweep() -> dict:
     )
     t = chained_grid_map_time(
         lambda Xg, Yg: power_map(extract, Xg, Yg, max_order=1, approx=True),
-        Xe, Ye, k=5, reps=3,
+        Xe, Ye, k=24, reps=3,
     )
     _set("cfg7_city_extract_136walls_order1_pts_per_s", round(256 * 256 / t, 1))
 
@@ -691,7 +801,10 @@ def full_config_sweep() -> dict:
     # over unculled, bit-identical).
     t = chained_grid_map_time(
         lambda Xg, Yg: power_map(extract, Xg, Yg, max_order=2, approx=True),
-        Xe, Ye, k=3, reps=2,
+        # ~300 ms/map: dispatch cost is negligible and the order-2
+        # kernel's compile is the most expensive in the sweep, so skip
+        # the two extra scan-body compiles.
+        Xe, Ye, k=3, reps=2, scan=False,
     )
     _set("cfg8_city_extract_order2_pts_per_s", round(256 * 256 / t, 1))
 
@@ -735,19 +848,23 @@ def full_config_sweep() -> dict:
         updates, state = ris_opt.update(g, state)
         return phi + updates, state, v
 
+    def _phi_carry_step(step2):
+        def step(c):
+            p, st = c
+            p, st, v = step2(p, st)
+            return (p, st), v
+
+        return step
+
     # Strongly-typed init: a weak jnp.array(0.5) would retrace the
     # jitted step after the first update (weak -> strong promotion).
     phi = jnp.array(0.5, dtype=jnp.float32)
-    ris_state = ris_opt.init(phi)
-
-    def ris_step_fn():
-        nonlocal phi, ris_state
-        phi, ris_state, v = ris_step(phi, ris_state)
-        return v
-
-    # Sub-ms steps: k=200 puts the chained signal (~20-100 ms) well
-    # above the ~30 ms round-trip jitter.
-    t = chained_step_time(ris_step_fn, k=200, reps=3)
+    # Sub-ms steps chained in one scan dispatch: k=100 puts the chained
+    # signal (~30 ms) above the round-trip jitter with zero per-step
+    # host enqueues.
+    t = scan_step_time(
+        _phi_carry_step(ris_step), (phi, ris_opt.init(phi)), k=100, reps=3
+    )
     _set("cfg5_ris_phase_opt_s_per_step", round(t, 5))
 
     # Reverse-mode comparison row (the round-2 methodology).
@@ -758,14 +875,10 @@ def full_config_sweep() -> dict:
         return phi + updates, state, v
 
     phi_r = jnp.array(0.5, dtype=jnp.float32)
-    state_r = ris_opt.init(phi_r)
-
-    def ris_step_rev_fn():
-        nonlocal phi_r, state_r
-        phi_r, state_r, v = ris_step_rev(phi_r, state_r)
-        return v
-
-    t = chained_step_time(ris_step_rev_fn, k=200, reps=3)
+    t = scan_step_time(
+        _phi_carry_step(ris_step_rev), (phi_r, ris_opt.init(phi_r)),
+        k=100, reps=3,
+    )
     _set("cfg5_ris_phase_opt_rev_s_per_step", round(t, 5))
 
     return out

@@ -10,9 +10,33 @@ the CPU override must go through ``jax.config`` rather than env vars.
 """
 
 import os
+import shutil
+import subprocess
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 os.environ["MPLBACKEND"] = "Agg"
+
+# Build the native C++ enumerator before collection imports rt._native
+# (whose load attempt is cached), so a fresh checkout exercises the C++
+# path wherever a compiler exists; compiler-less boxes still skip. An
+# exclusive lock serializes the xdist workers (pyproject runs -n 4);
+# each re-checks after acquiring, so exactly one builds.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SO = os.path.join(_REPO, "differt2d_tpu", "rt", "libenumerate.so")
+if not os.path.exists(_SO) and shutil.which("g++") and shutil.which("make"):
+    import fcntl
+
+    _lock_path = os.path.join(_REPO, "native", ".build.lock")
+    with open(_lock_path, "w") as _lock:
+        fcntl.flock(_lock, fcntl.LOCK_EX)
+        if not os.path.exists(_SO):
+            subprocess.run(
+                ["make", "-C", os.path.join(_REPO, "native")],
+                check=False,
+                capture_output=True,
+                timeout=120,
+            )
+        fcntl.flock(_lock, fcntl.LOCK_UN)
 
 import jax  # noqa: E402
 

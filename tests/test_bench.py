@@ -71,9 +71,12 @@ def test_wrapper_down_backend_and_broken_inner_never_crashes():
     assert result["vs_baseline"] == 0.0
 
 
+@pytest.mark.slow
 def test_wrapper_down_backend_cpu_fallback_runs():
     """Probe fails -> CPU fallback produces real interpreter-mode numbers
-    with the error recorded (the exact round-2 failure scenario)."""
+    with the error recorded (the exact round-2 failure scenario), AND
+    still carries a correctness row for every sweep config (the round-4
+    failure was a fallback artifact with no cfg rows at all)."""
     result = _run_wrapper(
         {
             "BENCH_PROBE_CMD": "false",
@@ -81,9 +84,48 @@ def test_wrapper_down_backend_cpu_fallback_runs():
             "BENCH_PROBE_BACKOFF": "0",
             "BENCH_SIZE": "24",
             "BENCH_BASELINE_SIZE": "16",
-        }
+            "BENCH_SWEEP_SIZE": "16",  # tiny sweep: every cfg, CPU-sized
+        },
+        timeout=1800,
     )
     assert result["device"] == "cpu-fallback"
     assert result["value"] > 0
     assert result["grad_check_pass"] is True
     assert "probe failed after 2 attempts" in result["error"]
+    for cfg_key in [
+        "cfg2_256x256_order2_sigmoid_pts_per_s",
+        "cfg3_mpt_tx_opt_s_per_step",
+        "cfg4_geojson_vertex_diffraction_pts_per_s",
+        "cfg5_ris_phase_opt_s_per_step",
+        "cfg6_city_120walls_order1_pts_per_s",
+        "cfg6_vag_pts_per_s",
+        "cfg7_city_extract_136walls_order1_pts_per_s",
+        "cfg7_vag_pts_per_s",
+        "cfg7_txopt_s_per_step",
+        "cfg8_city_extract_order2_pts_per_s",
+    ]:
+        assert result.get(cfg_key, 0) > 0, cfg_key
+
+
+def test_wrapper_mid_sweep_death_salvages_device_partial():
+    """Inner dies AFTER the headline metric (a mid-sweep outage): the
+    wrapper must emit a device-attributed partial artifact carrying the
+    already-streamed metrics, not discard them or mislabel as fallback."""
+    result = _run_wrapper(
+        {
+            "BENCH_PROBE_CMD": "true",
+            "BENCH_INNER_RETRIES": "0",
+            "BENCH_SIZE": "24",
+            "BENCH_BASELINE_SIZE": "16",
+            # int() raises inside full_config_sweep, after the headline
+            # #PART# lines have streamed -- a deterministic mid-sweep death.
+            "BENCH_SWEEP_SIZE": "not-a-number",
+        },
+        timeout=600,
+    )
+    assert result["partial"] is True
+    assert result["value"] > 0
+    assert result["grad_check_pass"] is True
+    assert "cpu" in result["device"].lower()  # the real (test) device,
+    assert result["device"] != "cpu-fallback"  # not the fallback label
+    assert "failed after retries" in result["error"]

@@ -616,8 +616,26 @@ def build_power_map_kernel(
                             gloss_x = gloss_x + cgx - bgx + agx
                             gloss_y = gloss_y + cgy - bgy + agy
 
-                # --- on_objects (running-min gradient with want_grad)
-                if soft_mode:
+                # --- on_objects (running-min gradient with want_grad;
+                # the soft VALUE path folds pre-activation margins: soft
+                # activations are monotone nondecreasing, so
+                # min(act(z1), act(z2)) == act(min(z1, z2)) EXACTLY in
+                # f32 -- the min selects one argument and act is a pure
+                # function -- letting on/loss collapse to ONE activation
+                # per candidate (cfg2 spent ~6 transcendentals per
+                # candidate here, the dominant non-geometry cost).
+                # ``_zm(x)`` is the activation's pre-image in the same
+                # op order _soft uses: ``alpha*x`` (sigmoid) /
+                # ``alpha*x + 3`` (hard_sigmoid's relu6 shift).
+                fold = bool(soft_mode) and not want_grad
+
+                def _zm(x):
+                    z = alpha * x
+                    return z if sigmoid else z + 3.0
+
+                if fold:
+                    zon = jnp.full_like(px, jnp.inf)
+                elif soft_mode:
                     on = jnp.ones_like(px)
                     gon_x, gon_y = zeros, zeros
                 else:
@@ -631,7 +649,11 @@ def build_power_map_kernel(
                     sq = sq if sq != 0.0 else 1.0
                     bxc, byc = path_x[j + 1], path_y[j + 1]
                     t = ((bxc - axw) * dxw + (byc - ayw) * dyw) / sq
-                    if soft_mode:
+                    if fold:
+                        zon = jnp.minimum(
+                            zon, jnp.minimum(_zm(t), _zm(1.0 - t))
+                        )
+                    elif soft_mode:
                         c1 = _soft(t, alpha, sigmoid)
                         c2 = _soft(1.0 - t, alpha, sigmoid)
                         contains = jnp.minimum(c1, c2)
@@ -696,11 +718,33 @@ def build_power_map_kernel(
                                 soft_mode, alpha,
                             )
                             blk = jnp.maximum(blk, m)
-                if not (soft_mode and want_grad):
+                if not (soft_mode and want_grad) and not fold:
                     blk = _blk_from_m6(blk, soft_mode)
 
-                # --- validity (arg-min gradient selection with want_grad)
-                if soft_mode:
+                # --- validity (arg-min gradient selection with want_grad;
+                # the folded VALUE path applies ONE activation to the
+                # margin min.  hard mode also folds the blocked
+                # complement: 1 - relu6(m)/6 == relu6(6 - m)/6, with
+                # both sides pinned EXACTLY at m <= 0 / m >= 6, so the
+                # culling/shadow exact-zero contracts are unchanged.
+                # sigmoid must NOT fold the complement -- 1 - sigmoid(m)
+                # is exactly 0 for m >= ~16.7 while sigmoid(-m) only
+                # saturates at ~87.4, and the cull proofs rely on the
+                # former -- so it keeps the explicit 1 - blk pair.)
+                if fold:
+                    z_ol = jnp.minimum(zon, _zm(tol - loss))
+                    if sigmoid:
+                        blk_act = _blk_from_m6(blk, soft_mode)
+                        valid_pre = jnp.minimum(
+                            jax.nn.sigmoid(z_ol), 1.0 - blk_act
+                        )
+                    else:
+                        z_valid = jnp.minimum(z_ol, 6.0 - blk)
+                        valid_pre = jnp.clip(
+                            jnp.clip(z_valid, 0.0, 6.0) / 6.0, 0.0, 1.0
+                        )
+                    valid = jnp.nan_to_num(valid_pre)
+                elif soft_mode:
                     loss_ok = _soft(tol - loss, alpha, sigmoid)
                     m1 = jnp.minimum(on, 1.0 - blk)
                     valid_pre = jnp.minimum(m1, loss_ok)
@@ -1544,6 +1588,7 @@ def build_power_map_kernel_looped(
     hoist_walls: bool = False,
     cull: bool = False,
     shadow: bool = False,
+    debug_skip_mid: bool = False,
 ):
     """Looped variant of :func:`build_power_map_kernel` for large
     candidate sets.
@@ -1881,8 +1926,20 @@ def build_power_map_kernel_looped(
                     gloss_x = gloss_x + jnp.where(is_vtx, 0.0, tgx)
                     gloss_y = gloss_y + jnp.where(is_vtx, 0.0, tgy)
 
-                # on_objects (running-min gradient with want_grad).
-                if soft_mode:
+                # on_objects (running-min gradient with want_grad; the
+                # soft VALUE path folds pre-activation margins into one
+                # running min -- monotone activations commute with min
+                # EXACTLY, see the unrolled twin -- so on/loss cost ONE
+                # activation per candidate instead of 2*order + 1).
+                fold = bool(soft_mode) and not want_grad
+
+                def _zm(x):
+                    z = alpha * x
+                    return z if sigmoid else z + 3.0
+
+                if fold:
+                    zon = jnp.full_like(px, jnp.inf)
+                elif soft_mode:
                     on = jnp.ones_like(px)
                     gon_x, gon_y = zeros, zeros
                 else:
@@ -1895,7 +1952,12 @@ def build_power_map_kernel_looped(
                     bxc, byc = path_x[j + 1], path_y[j + 1]
                     t = ((bxc - axw) * dxw + (byc - ayw) * dyw) / sq
                     is_vertex = kinds[j] == KIND_VERTEX
-                    if soft_mode:
+                    if fold:
+                        zc = jnp.minimum(_zm(t), _zm(1.0 - t))
+                        zon = jnp.minimum(
+                            zon, jnp.where(is_vertex, jnp.inf, zc)
+                        )
+                    elif soft_mode:
                         c1 = _soft(t, alpha, sigmoid)
                         c2 = _soft(1.0 - t, alpha, sigmoid)
                         contains = jnp.minimum(c1, c2)
@@ -2051,16 +2113,39 @@ def build_power_map_kernel_looped(
 
                         carry = listed_loop(s, n_w, getl, carry)
                     else:
+                        if debug_skip_mid:
+                            # Measurement-only build (WRONG results):
+                            # drops the middle-segment blocked loop to
+                            # expose its share of the map time.
+                            continue
                         for w in range(W):
                             carry = blocked_step_hoisted(w, s, carry)
                 if soft_mode and want_grad:
                     blk, gblk_x, gblk_y = carry
+                elif fold:
+                    (m6,) = carry
                 else:
                     (m6,) = carry
                     blk = _blk_from_m6(m6, soft_mode)
 
-                # Validity (arg-min gradient selection with want_grad).
-                if soft_mode:
+                # Validity (arg-min gradient selection with want_grad;
+                # folded VALUE path: one activation on the margin min,
+                # hard mode also folding the blocked complement -- see
+                # the unrolled twin for the exactness/cull argument).
+                if fold:
+                    z_ol = jnp.minimum(zon, _zm(tol - loss))
+                    if sigmoid:
+                        blk_act = _blk_from_m6(m6, soft_mode)
+                        valid_pre = jnp.minimum(
+                            jax.nn.sigmoid(z_ol), 1.0 - blk_act
+                        )
+                    else:
+                        z_valid = jnp.minimum(z_ol, 6.0 - m6)
+                        valid_pre = jnp.clip(
+                            jnp.clip(z_valid, 0.0, 6.0) / 6.0, 0.0, 1.0
+                        )
+                    valid = jnp.nan_to_num(valid_pre)
+                elif soft_mode:
                     loss_ok = _soft(tol - loss, alpha, sigmoid)
                     m1 = jnp.minimum(on, 1.0 - blk)
                     valid_pre = jnp.minimum(m1, loss_ok)
@@ -2203,12 +2288,30 @@ def build_power_map_kernel_looped(
             else:
                 for w in range(W):
                     carry = los_fold(read_patched(w), carry)
+            fold = bool(soft_mode) and not want_grad
             if soft_mode and want_grad:
                 blk, gblk_x, gblk_y = carry
+            elif fold:
+                (m6,) = carry
             else:
                 (m6,) = carry
                 blk = _blk_from_m6(m6, soft_mode)
-            if soft_mode:
+            if fold:
+                # Folded VALUE path (see make_cand_contrib): the loss
+                # gate is the constant activation(tol).
+                z_loss = alpha * tol if sigmoid else alpha * tol + 3.0
+                if sigmoid:
+                    blk_act = _blk_from_m6(m6, soft_mode)
+                    valid_pre = jnp.minimum(
+                        1.0 - blk_act, jax.nn.sigmoid(z_loss)
+                    )
+                else:
+                    z_valid = jnp.minimum(z_loss, 6.0 - m6)
+                    valid_pre = jnp.clip(
+                        jnp.clip(z_valid, 0.0, 6.0) / 6.0, 0.0, 1.0
+                    )
+                valid = jnp.nan_to_num(valid_pre)
+            elif soft_mode:
                 loss_ok = _soft(tol, alpha, sigmoid)
                 valid_pre = jnp.minimum(1.0 - blk, loss_ok)
                 valid = jnp.nan_to_num(valid_pre)
@@ -2888,6 +2991,7 @@ def pallas_power_map(
         sigmoid=sigmoid,
         interpret=interpret,
         mode="value_and_grad" if want_grad else "value",
+        alpha_hint=alpha,
     )
     entry = _get_entry(
         run, grad, value_and_grad, (alpha, tol, patch, r_coef, height)
@@ -2920,6 +3024,7 @@ def pallas_power_map(
                 sigmoid=sigmoid,
                 interpret=interpret,
                 mode="value_and_grad" if want_grad else "value",
+                alpha_hint=alpha,
             )
         finally:
             for k, v in prev.items():
@@ -3041,7 +3146,8 @@ def _opt_solver_map(
 
 
 def get_fused_run(
-    arrays, groups, *, n_tx, approx, sigmoid, interpret, mode="value"
+    arrays, groups, *, n_tx, approx, sigmoid, interpret, mode="value",
+    alpha_hint=None,
 ):
     """Cached differentiable kernel entry.
 
@@ -3049,6 +3155,15 @@ def get_fused_run(
     ~16-candidate scheduler crossover and the fori_loop kernel above it,
     wraps the result in the custom_vjp adapter, jits the per-TX loop into
     one dispatch, and caches by kernel structure (bounded LRU).
+
+    ``alpha_hint``: the concrete runtime ``alpha`` when the caller knows
+    it (:func:`pallas_power_map` always does) -- used only to gate the
+    cull/shadow STRUCTURE on sigmoid maps, where the saturation band
+    ``z0/alpha`` can dwarf the scene and turn the whole machinery into
+    pure overhead (measured: basic_scene 256x256 order<=2 sigmoid at
+    alpha=100 runs 131.9M pts/s with cull+shadow off vs 88-105M with
+    them on across every tile size, 2026-08-20).  The kernels themselves
+    stay alpha-generic.
 
     Signature of the returned callable:
     ``run(pixels[P, 2], txs[n_tx, 2], walls[W, 2, 2], kind[W], phi[W],
@@ -3080,6 +3195,24 @@ def get_fused_run(
     stream_proxy = sum(
         int(g.shape[0]) * n_walls * (o + 1) for o, g in groups.items()
     )
+    # Sigmoid band gate: sigmoid only saturates to exact zeros at
+    # |z| >= ~90 (vs 3 for hard_sigmoid), so its cull/shadow dilations
+    # span z0/alpha scene units.  When that band rivals the scene
+    # diameter the beams cover everything, nothing is pruned, and the
+    # per-tile machinery is pure overhead; worse, the order>=2
+    # crossover would route a small scene to the looped kernel for
+    # culling that cannot prune.  Measured (basic_scene 256x256
+    # order<=2 sigmoid, alpha=100, 2026-08-20): unrolled 131.9M pts/s
+    # vs looped 81-105M across every tile size / cull setting.  Gated
+    # on a CONCRETE alpha only (pallas_power_map always passes one);
+    # with no hint the machinery is kept (tables adapt at runtime).
+    band_wide = False
+    if alpha_hint is not None and approx and sigmoid:
+        w_lo = walls_np.reshape(-1, 2).min(axis=0)
+        w_hi = walls_np.reshape(-1, 2).max(axis=0)
+        scene_diag = float(np.sqrt(np.sum((w_hi - w_lo) ** 2))) or 1.0
+        band = _SIGMOID_Z0 / max(float(alpha_hint), 1e-6)
+        band_wide = band >= 0.25 * scene_diag
     if interpret:
         # Interpreter mode (CPU): under jit, the interpreted kernel
         # becomes one giant XLA:CPU program, whose compile time is
@@ -3092,27 +3225,15 @@ def get_fused_run(
         # Proxy decides: a few-candidate set over MANY walls (e.g. a
         # filtered city scene) still unrolls a huge blocked-test stream,
         # so candidate count must not override the compile-time bound.
+        # (History: round 4 routed small order>=2 scenes to the
+        # culled+shadow looped kernel -- it beat the then-unrolled one
+        # 1.34-1.53x.  The round-5 activation fold made the unrolled
+        # kernel transcendental-light and it now wins every small-scene
+        # mode: basic_scene order<=2 at 256x256, measured 2026-08-20,
+        # unrolled 131-135M pts/s vs looped 81-116M across hard /
+        # sigmoid a=100 / sigmoid a=1000, so the crossover is gone and
+        # the compile-time stream bound is again the only router.)
         use_looped = stream_proxy > (400 if with_grad else 1200)
-        # Crossover (measured TPU v5e, 2026-08-19): once order>=2
-        # candidates exist, the culled+shadow-listed looped kernel beats
-        # the unrolled one even on small scenes -- basic_scene order<=2
-        # at 256x256: 1.34x hard logic (0.46 vs 0.62 ms/map), 1.53x
-        # sigmoid (0.72 vs 1.09 ms/map; sigmoid culls via the f32
-        # saturation bands).  Flip-rate vs XLA stays pinned by
-        # TestFlipRateContract.  Order<=1 small sets stay unrolled
-        # (north-star 1024x1024: unrolled 0.88 ms vs looped 0.89 ms).
-        has_deep_cullable = any(
-            o >= 2
-            and g.size
-            and bool(np.any(kinds_np[np.asarray(g)] != KIND_VERTEX))
-            for o, g in groups.items()
-        )
-        if (
-            not with_grad
-            and has_deep_cullable
-            and os.environ.get("DIFFERT2D_TPU_CULL", "1") != "0"
-        ):
-            use_looped = True
         if os.environ.get("DIFFERT2D_TPU_FORCE_LOOPED") == "1":
             # Pin the kernel FAMILY while toggling cull/shadow: both
             # families use the m6 blocked form now, but compilers
@@ -3156,6 +3277,10 @@ def get_fused_run(
         and sig_ok
         and os.environ.get("DIFFERT2D_TPU_SHADOW", "1") != "0"
     )
+    if band_wide:
+        # (see the band_wide derivation above the crossover)
+        cull = False
+        shadow = False
     group_key = tuple(
         (o, g.tobytes(), g.shape) for o, g in sorted(groups.items())
     )
@@ -3176,6 +3301,7 @@ def get_fused_run(
             os.environ.get("DIFFERT2D_TPU_CULL_REFINE", ""),
             os.environ.get("DIFFERT2D_TPU_BLOCK_ROWS", ""),
             os.environ.get("DIFFERT2D_TPU_SHADOW_CHUNK", ""),
+            os.environ.get("DIFFERT2D_TPU_DEBUG_SKIP_MID", ""),
         )
     else:
         cache_key = (
@@ -3229,6 +3355,11 @@ def get_fused_run(
             # tiles buy tighter per-tile candidate culling exactly when
             # there are many candidates to cull.
             block_rows=looped_rows,
+            # Measurement-only knob (WRONG results when set): exposes
+            # the middle-segment blocked loop's share of the map time.
+            debug_skip_mid=os.environ.get(
+                "DIFFERT2D_TPU_DEBUG_SKIP_MID"
+            ) == "1",
         )
 
         def run(pixels, txs, walls, kind, phi, scalars):
@@ -3298,6 +3429,7 @@ def get_fused_run(
     # permutation when the grid shape allows it.
     run._culled = cull
     run._shadowed = shadow
+    run._looped = use_looped
     # One spatial block = ONE kernel tile (block_rows x 128 pixels laid
     # out as a 32 x (4 * block_rows) rectangle): every tile's bounding
     # box is a compact rectangle, never a wrap-around strip, so the

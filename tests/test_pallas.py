@@ -927,6 +927,59 @@ def test_cull_dispatch_flags(monkeypatch):
     assert not run._culled
 
 
+def test_sigmoid_band_gate():
+    """Wide-band sigmoid maps (z0/alpha rivaling the scene diameter)
+    must skip the cull/shadow machinery -- the saturation beams cover
+    everything and prune nothing (measured pure overhead); narrow bands
+    (large alpha) keep it.  Gated only when a concrete alpha hint is
+    available (pallas_power_map always passes one)."""
+    from differt2d_tpu.ops.pallas_kernels import get_fused_run
+    from differt2d_tpu.rt import path_candidate_matrices
+    from differt2d_tpu.tracer import scene_arrays
+
+    scene = Scene.city_scene()
+    arrays = scene_arrays(scene)
+    groups = path_candidate_matrices(arrays.num_objects, 0, 1)
+    kw = dict(n_tx=1, interpret=True, mode="value", approx=True, sigmoid=True)
+    wide = get_fused_run(arrays, groups, alpha_hint=100.0, **kw)
+    assert not wide._culled and not wide._shadowed
+    narrow = get_fused_run(arrays, groups, alpha_hint=3000.0, **kw)
+    assert narrow._culled and narrow._shadowed
+    nohint = get_fused_run(arrays, groups, **kw)
+    assert nohint._culled  # no hint -> conservative: keep the machinery
+    # hard_sigmoid's band is 3/alpha -- never wide at practical alphas.
+    hard = get_fused_run(
+        arrays, groups, alpha_hint=100.0,
+        n_tx=1, interpret=True, mode="value", approx=True, sigmoid=False,
+    )
+    assert hard._culled
+
+
+def test_small_scene_order2_routes_unrolled():
+    """Post-fold, the unrolled kernel wins every small-scene mode
+    (131-135M vs 81-116M pts/s measured on TPU v5e 2026-08-20), so the
+    round-4 order>=2 crossover to the looped kernel is gone: only the
+    compile-time stream bound routes."""
+    from differt2d_tpu.ops.pallas_kernels import get_fused_run
+    from differt2d_tpu.rt import path_candidate_matrices
+    from differt2d_tpu.tracer import scene_arrays
+
+    arrays = scene_arrays(Scene.basic_scene())
+    groups = path_candidate_matrices(arrays.num_objects, 0, 2)
+    run = get_fused_run(
+        arrays, groups, n_tx=1, interpret=False, mode="value",
+        approx=True, sigmoid=True, alpha_hint=100.0,
+    )
+    assert not run._looped
+    # City-scale streams still go looped (program size O(walls)).
+    arrays_c = scene_arrays(Scene.city_scene())
+    run_c = get_fused_run(
+        arrays_c, path_candidate_matrices(arrays_c.num_objects, 0, 1),
+        n_tx=1, interpret=False, mode="value", approx=True, sigmoid=False,
+    )
+    assert run_c._looped
+
+
 @pytest.mark.parametrize("mode", ["value", "value_and_grad"])
 def test_cull_sigmoid_bitwise(mode):
     """Sigmoid maps cull bit-identically too: f32 sigmoid saturates to

@@ -58,6 +58,11 @@ _CULL_PAD_REL = 1e-3
 # few folds per step restores the cross-wall ILP the static loop had.
 # 8 walls per step measured best across city configs (cfg8 322 -> 293
 # ms/map, cfg6/cfg7 ~25% faster than 4; 16 ties or regresses).
+# (Round 5 tried replacing these fori-list loops with MID_CHUNK
+# occupancy-word lax.cond chunks everywhere: first/last segments
+# REGRESSED 25-32% -- the dynamic-trip fori pipelines better than a
+# branch per chunk -- so lists stay for first/last; the word scheme
+# serves LOS (SMEM) and the previously listless MIDDLE segments.)
 _SHADOW_CHUNK = int(os.environ.get("DIFFERT2D_TPU_SHADOW_CHUNK", "8"))
 
 # f32 saturation bands of jax.nn.sigmoid, measured on TPU v5e (inside a
@@ -1408,37 +1413,28 @@ def beam_keep_tables(
     return keep_by_order
 
 
-def shadow_wall_lists(
-    walls32, kind, tx, patch, alpha, approx, x0, x1, y0, y1,
-    sigmoid=False, tol=None,
+def _shadow_geometry(
+    walls32, kind, tx, patch, alpha, approx, sigmoid, tol
 ):
-    """Per-wall / per-tile occluder index lists for the blocked test.
+    """Shared geometry for the occluder-list/mask builders.
 
-    For a candidate whose first wall is ``w0``, the first path segment
-    runs TX -> b1 with b1 on the (band-dilated) wall ``w0`` wherever the
-    candidate's ``contains`` factor is nonzero -- so any wall whose
-    (dilated) bounding box misses bbox(TX, dilated w0) has
-    ``hit == 0`` exactly there, and at pixels where b1 leaves the
-    dilated wall, ``contains == 0`` saturates with exactly-zero
-    gradients, making the candidate's (val, gx, gy) independent of
-    ``blk`` (min-select ties propagate zeros).  Skipping off-list walls
-    is therefore bit-identical.  The same argument covers the LAST
-    segment b_last -> pixel against bbox(tile, dilated w_last), and the
-    LOS segment TX -> pixel against bbox(TX, tile).
+    Returns dilated bounce-locus boxes (``llo/lhi``), occluder boxes
+    (``olo/ohi``), the occluder eligibility mask, the hull-growth
+    factors, and the un == 0 hazard gate ``hz_free``:
 
-    Dilations: the bounce locus extends ``(3/alpha + pad)`` wall lengths
-    past each endpoint (the ``contains`` saturation band); occluders
-    extend ``(0.005 + 3/alpha + pad)`` patched lengths (the blocked
-    test's tol + band); hulls additionally grow by the same factor times
-    their diagonal (the ``t_seg`` in-range band scales with segment
-    length) plus an absolute f32 margin.
-
-    :return: ``(l0dat[W*W], l0cnt[W], lastdat[T, W, W],
-        lastcnt[T, 1, W], losdat[T, 1, W], loscnt[T, 1, 1])`` int32
-        index lists (survivors first) + counts.
+    The kernel's bounce guard pins b = q when (q - image) . n == 0
+    exactly, detaching the bounce from its wall's locus and voiding the
+    hull argument.  BUT a zero denominator collapses that bounce's
+    outgoing segment to zero length, so its specular residual is
+    |reflect(ihat)|^2 = 1 exactly and loss >= 1 (ihat = 0 would need
+    the upstream point to coincide too, which chains back to TX -- only
+    a wall through TX breaks this).  Whenever the loss gate saturates
+    at loss >= 1, i.e. alpha * (1 - tol) clears the activation's zero
+    threshold, every un == 0 pixel has valid == 0 with exactly-zero
+    gradients and the lists stay bit-identical.  Otherwise (tiny alpha
+    / huge tol) the builders fall back to identity lists / all-ones
+    masks -- a traced select, so one compiled kernel serves both.
     """
-    W = int(walls32.shape[0])
-    T = int(x0.shape[0])
     a = walls32[:, 0, :]
     b = walls32[:, 1, :]
     d = b - a
@@ -1470,42 +1466,6 @@ def shadow_wall_lists(
         jnp.sum(d * d, axis=-1) > 0.0
     )
 
-    def lists_from_hulls(hlo, hhi, self_idx=None):
-        """Overlap masks -> survivor-first index lists + counts.
-
-        ``hlo/hhi``: [..., 2] hull corners; returns ([..., W] int32
-        permutation, [...] int32 count).
-        """
-        diag = jnp.sqrt(jnp.sum((hhi - hlo) ** 2, axis=-1, keepdims=True))
-        grow = ext * diag + abs_pad
-        glo = hlo - grow
-        ghi = hhi + grow
-        overlap = ~(
-            (ohi[:, 0] < glo[..., 0][..., None])
-            | (olo[:, 0] > ghi[..., 0][..., None])
-            | (ohi[:, 1] < glo[..., 1][..., None])
-            | (olo[:, 1] > ghi[..., 1][..., None])
-        )
-        mask = overlap & occ_ok
-        if self_idx is not None:
-            mask = mask & (jnp.arange(W) != self_idx[..., None])
-        prm = jnp.argsort(~mask, axis=-1, stable=True).astype(jnp.int32)
-        cnt = jnp.sum(mask, axis=-1).astype(jnp.int32)
-        return prm, cnt
-
-    # The un == 0 hazard gate.  The kernel's bounce guard pins b = q
-    # when (q - image) . n == 0 exactly, detaching the bounce from its
-    # wall's locus and voiding the hull argument.  BUT a zero
-    # denominator collapses that bounce's outgoing segment to zero
-    # length, so its specular residual is |reflect(ihat)|^2 = 1 exactly
-    # and loss >= 1 (ihat = 0 would need the upstream point to coincide
-    # too, which chains back to TX -- only a wall through TX breaks
-    # this).  Whenever the loss gate saturates at loss >= 1, i.e.
-    # alpha * (1 - tol) clears the activation's zero threshold, every
-    # un == 0 pixel has valid == 0 with exactly-zero gradients and the
-    # lists stay bit-identical.  Otherwise (tiny alpha / huge tol) the
-    # lists fall back to the identity: counts = W -- a traced select,
-    # so one compiled kernel serves both regimes.
     z_need = _SIGMOID_Z0 if (approx and sigmoid) else _HARD_Z
     tol_f = (
         jnp.asarray(tol, jnp.float32)
@@ -1532,6 +1492,186 @@ def shadow_wall_lists(
         tx_dist <= 1e-4 * scale * jnp.maximum(nlen, 1e-30)
     )
     hz_free = hz_free & jnp.logical_not(jnp.any(wall_thru_tx & occ_ok))
+    return {
+        "llo": llo,
+        "lhi": lhi,
+        "olo": olo,
+        "ohi": ohi,
+        "occ_ok": occ_ok,
+        "ext": ext,
+        "abs_pad": abs_pad,
+        "hz_free": hz_free,
+    }
+
+
+MID_CHUNK = 8
+"""Walls per blocked-loop skip chunk (one occupancy bit per chunk)."""
+
+
+def _pack_chunk_words(mask):
+    """Pack ``[..., W]`` boolean occluder masks into chunk-occupancy
+    int32 words: bit ``c`` of the output = any occluder among walls
+    ``c*MID_CHUNK .. +MID_CHUNK-1``.  Requires ``ceil(W / MID_CHUNK)
+    <= 32`` (W <= 256 at chunk 8; the looped kernel's SMEM scaling
+    breaks down far earlier anyway)."""
+    Wm = mask.shape[-1]
+    nchunks = -(-Wm // MID_CHUNK)
+    if nchunks > 32:
+        msg = f"chunk words support at most {32 * MID_CHUNK} walls"
+        raise ValueError(msg)
+    pad = nchunks * MID_CHUNK - Wm
+    padded = jnp.pad(mask, [(0, 0)] * (mask.ndim - 1) + [(0, pad)])
+    occ = jnp.any(
+        padded.reshape(*mask.shape[:-1], nchunks, MID_CHUNK), axis=-1
+    )
+    weights = jnp.left_shift(
+        jnp.uint32(1), jnp.arange(nchunks, dtype=jnp.uint32)
+    )
+    words = jnp.sum(occ.astype(jnp.uint32) * weights, axis=-1,
+                    dtype=jnp.uint32)
+    return jax.lax.bitcast_convert_type(words, jnp.int32)
+
+
+def shadow_chunk_words(
+    walls32, kind, tx, patch, alpha, approx, x0, x1, y0, y1,
+    sigmoid=False, tol=None,
+):
+    """Packed chunk-occupancy words for the first/last/LOS blocked
+    loops of kernels that ALSO have middle segments (order >= 2).
+
+    Same hulls and soundness argument as :func:`shadow_wall_lists`,
+    compressed to one int32 per hull (bit ``c`` = chunk ``c`` holds a
+    possible occluder).  Such kernels must use the lax.cond chunk-skip
+    scheme for EVERY segment: mixing a dynamic-trip fori (the index
+    lists) and lax.cond chunks in one loop body compiled ~65x slower
+    on Mosaic (cfg8 19.1 s vs 275 ms, 2026-08-20), while all-cond
+    order-1 kernels ran 25-32% slower than their fori lists -- so the
+    list form stays for no-mid kernels and this form serves has-mid
+    ones (where it also frees ~350 KB of SMEM for the pair masks).
+
+    Under the un == 0 hazard gate the first/last words fall back to
+    all-ones (skip nothing); LOS skips the gate (no bounce).
+
+    :return: ``(l0w[W], lastw[T, 1, W], losw[T, 1, 1])`` int32.
+    """
+    geo, m0, mlast, mlos = _occluder_masks(
+        walls32, kind, tx, patch, alpha, approx, x0, x1, y0, y1,
+        sigmoid=sigmoid, tol=tol,
+    )
+    hz_free = geo["hz_free"]
+    all_on = jnp.int32(-1)
+    l0w = jnp.where(hz_free, _pack_chunk_words(m0), all_on)
+    lastw = jnp.where(hz_free, _pack_chunk_words(mlast), all_on)
+    losw = _pack_chunk_words(mlos)
+    return l0w, lastw[:, None, :], losw[:, None, None]
+
+
+def mid_pair_masks(
+    walls32, kind, tx, patch, alpha, approx, sigmoid=False, tol=None
+):
+    """Packed per-(wall, wall) occluder bitmasks for MIDDLE segments.
+
+    A middle path segment of an order >= 2 candidate runs b_s -> b_{s+1}
+    with each endpoint on its (band-dilated) wall wherever that bounce's
+    ``contains`` factor is nonzero, so the segment lies inside
+    bbox(dilated w_s, dilated w_{s+1}) (bbox convexity).  A wall whose
+    dilated box misses that (growth-padded) hull has ``hit == 0``
+    exactly there, and at pixels where a bounce leaves its dilated wall
+    ``contains == 0`` saturates with exactly-zero gradients -- the same
+    bit-identity argument as :func:`shadow_wall_lists`, keyed by the
+    (upstream wall, downstream wall) PAIR, which is tile-independent.
+
+    Full index lists per pair would need W^3 SMEM; per-wall bitmasks
+    still cost ~W^3/8 bytes (blew the 1 MB SMEM budget at W=136).  The
+    kernel only ever branches at :data:`MID_CHUNK`-wall granularity, so
+    each pair stores ONE int32 whose bit ``c`` says "chunk c (walls
+    c*MID_CHUNK .. +MID_CHUNK-1) contains at least one occluder"; the
+    kernel skips a chunk when its bit is clear (``lax.cond`` on a
+    scalar).  Executed chunks run every wall in them unconditionally --
+    extra tested walls are sound (their hits are genuine zeros), only
+    skipped ones need the proof.  Adjacent walls are cleared before
+    chunk-reduction -- the kernel's ignore test masks their hits to
+    exact zeros anyway, so skipping them is equivalent.  Requires
+    ``ceil(W / MID_CHUNK) <= 32``, i.e. W <= 256 at chunk 8 (the looped
+    kernel's SMEM scaling breaks down far earlier anyway).
+
+    Under the un == 0 hazard gate (see :func:`_shadow_geometry`) the
+    masks fall back to all-ones (skip nothing).
+
+    :return: int32 ``[W * W]``, bit ``c`` of entry ``i * W + j`` =
+        chunk-c occupancy for the ordered pair (i, j).
+    """
+    W = int(walls32.shape[0])
+    geo = _shadow_geometry(
+        walls32, kind, tx, patch, alpha, approx, sigmoid, tol
+    )
+    llo, lhi = geo["llo"], geo["lhi"]
+    olo, ohi = geo["olo"], geo["ohi"]
+    occ_ok, ext, abs_pad = geo["occ_ok"], geo["ext"], geo["abs_pad"]
+
+    hlo = jnp.minimum(llo[:, None, :], llo[None, :, :])  # [W, W, 2]
+    hhi = jnp.maximum(lhi[:, None, :], lhi[None, :, :])
+    diag = jnp.sqrt(jnp.sum((hhi - hlo) ** 2, axis=-1, keepdims=True))
+    grow = ext * diag + abs_pad
+    glo = hlo - grow
+    ghi = hhi + grow
+    overlap = ~(
+        (ohi[:, 0] < glo[..., 0][..., None])
+        | (olo[:, 0] > ghi[..., 0][..., None])
+        | (ohi[:, 1] < glo[..., 1][..., None])
+        | (olo[:, 1] > ghi[..., 1][..., None])
+    )  # [W, W, W]
+    rng = jnp.arange(W)
+    mask = (
+        overlap
+        & occ_ok
+        & (rng[None, None, :] != rng[:, None, None])  # upstream wall
+        & (rng[None, None, :] != rng[None, :, None])  # downstream wall
+    )
+    mask = jnp.where(geo["hz_free"], mask, True)
+    return _pack_chunk_words(mask).reshape(-1)
+
+
+def shadow_wall_lists(
+    walls32, kind, tx, patch, alpha, approx, x0, x1, y0, y1,
+    sigmoid=False, tol=None,
+):
+    """Per-wall / per-tile occluder index lists for the blocked test.
+
+    For a candidate whose first wall is ``w0``, the first path segment
+    runs TX -> b1 with b1 on the (band-dilated) wall ``w0`` wherever the
+    candidate's ``contains`` factor is nonzero -- so any wall whose
+    (dilated) bounding box misses bbox(TX, dilated w0) has
+    ``hit == 0`` exactly there, and at pixels where b1 leaves the
+    dilated wall, ``contains == 0`` saturates with exactly-zero
+    gradients, making the candidate's (val, gx, gy) independent of
+    ``blk`` (min-select ties propagate zeros).  Skipping off-list walls
+    is therefore bit-identical.  The same argument covers the LAST
+    segment b_last -> pixel against bbox(tile, dilated w_last), and the
+    LOS segment TX -> pixel against bbox(TX, tile).
+
+    Dilations: the bounce locus extends ``(3/alpha + pad)`` wall lengths
+    past each endpoint (the ``contains`` saturation band); occluders
+    extend ``(0.005 + 3/alpha + pad)`` patched lengths (the blocked
+    test's tol + band); hulls additionally grow by the same factor times
+    their diagonal (the ``t_seg`` in-range band scales with segment
+    length) plus an absolute f32 margin.
+
+    :return: ``(l0dat[W*W], l0cnt[W], lastdat[T, W, W],
+        lastcnt[T, 1, W], losdat[T, 1, W], loscnt[T, 1, 1])`` int32
+        index lists (survivors first) + counts.
+    """
+    W = int(walls32.shape[0])
+    geo, m0, mlast, mlos = _occluder_masks(
+        walls32, kind, tx, patch, alpha, approx, x0, x1, y0, y1,
+        sigmoid=sigmoid, tol=tol,
+    )
+    hz_free = geo["hz_free"]
+
+    def to_list(mask):
+        prm = jnp.argsort(~mask, axis=-1, stable=True).astype(jnp.int32)
+        cnt = jnp.sum(mask, axis=-1).astype(jnp.int32)
+        return prm, cnt
 
     def _gate(dat, cnt):
         ident = jnp.broadcast_to(
@@ -1542,27 +1682,11 @@ def shadow_wall_lists(
             jnp.where(hz_free, cnt, jnp.int32(W)),
         )
 
-    tx32 = jnp.asarray(tx, jnp.float32)
-    # Segment 0: hull(TX, dilated w0) per first wall.
-    h0lo = jnp.minimum(tx32[None, :], llo)
-    h0hi = jnp.maximum(tx32[None, :], lhi)
-    l0dat, l0cnt = _gate(*lists_from_hulls(h0lo, h0hi, jnp.arange(W)))
-
-    # Last segment: hull(tile, dilated w_last) per (tile, wall).
-    tlo = jnp.stack([x0, y0], axis=-1)  # [T, 2]
-    thi = jnp.stack([x1, y1], axis=-1)
-    hllo = jnp.minimum(tlo[:, None, :], llo[None, :, :])  # [T, W, 2]
-    hlhi = jnp.maximum(thi[:, None, :], lhi[None, :, :])
-    ldat, lcnt = _gate(*lists_from_hulls(
-        hllo, hlhi, jnp.broadcast_to(jnp.arange(W)[None, :], (T, W))
-    ))
-
-    # LOS: hull(TX, tile) per tile.
-    hslo = jnp.minimum(tx32[None, :], tlo)
-    hshi = jnp.maximum(tx32[None, :], thi)
+    l0dat, l0cnt = _gate(*to_list(m0))
+    ldat, lcnt = _gate(*to_list(mlast))
     # LOS has no bounce (its segment is TX -> pixel exactly), so the
     # hazard gate does not apply.
-    sdat, scnt = lists_from_hulls(hslo, hshi)
+    sdat, scnt = to_list(mlos)
 
     return (
         l0dat.reshape(-1),
@@ -1572,6 +1696,67 @@ def shadow_wall_lists(
         sdat[:, None, :],
         scnt[:, None, None],
     )
+
+
+def _occluder_masks(
+    walls32, kind, tx, patch, alpha, approx, x0, x1, y0, y1,
+    sigmoid=False, tol=None,
+):
+    """Boolean occluder masks for the first/last/LOS blocked segments.
+
+    Returns ``(geo, m0[W, W], mlast[T, W, W], mlos[T, W])`` where entry
+    ``[..., w]`` says wall ``w`` can intersect the corresponding hull
+    (see :func:`shadow_wall_lists` for the hulls and the soundness
+    argument).  Consumed by both the index-list builder (tests,
+    documentation) and the packed chunk-word builder the kernel reads.
+    """
+    W = int(walls32.shape[0])
+    T = int(x0.shape[0])
+    geo = _shadow_geometry(
+        walls32, kind, tx, patch, alpha, approx, sigmoid, tol
+    )
+    llo, lhi = geo["llo"], geo["lhi"]
+    olo, ohi = geo["olo"], geo["ohi"]
+    occ_ok, ext, abs_pad = geo["occ_ok"], geo["ext"], geo["abs_pad"]
+
+    def from_hulls(hlo, hhi, self_idx=None):
+        diag = jnp.sqrt(jnp.sum((hhi - hlo) ** 2, axis=-1, keepdims=True))
+        grow = ext * diag + abs_pad
+        glo = hlo - grow
+        ghi = hhi + grow
+        overlap = ~(
+            (ohi[:, 0] < glo[..., 0][..., None])
+            | (olo[:, 0] > ghi[..., 0][..., None])
+            | (ohi[:, 1] < glo[..., 1][..., None])
+            | (olo[:, 1] > ghi[..., 1][..., None])
+        )
+        mask = overlap & occ_ok
+        if self_idx is not None:
+            mask = mask & (jnp.arange(W) != self_idx[..., None])
+        return mask
+
+    tx32 = jnp.asarray(tx, jnp.float32)
+    # Segment 0: hull(TX, dilated w0) per first wall.
+    h0lo = jnp.minimum(tx32[None, :], llo)
+    h0hi = jnp.maximum(tx32[None, :], lhi)
+    m0 = from_hulls(h0lo, h0hi, jnp.arange(W))
+
+    # Last segment: hull(tile, dilated w_last) per (tile, wall).
+    tlo = jnp.stack([x0, y0], axis=-1)  # [T, 2]
+    thi = jnp.stack([x1, y1], axis=-1)
+    hllo = jnp.minimum(tlo[:, None, :], llo[None, :, :])  # [T, W, 2]
+    hlhi = jnp.maximum(thi[:, None, :], lhi[None, :, :])
+    mlast = from_hulls(
+        hllo, hlhi, jnp.broadcast_to(jnp.arange(W)[None, :], (T, W))
+    )
+
+    # LOS: hull(TX, tile) per tile.
+    hslo = jnp.minimum(tx32[None, :], tlo)
+    hshi = jnp.maximum(tx32[None, :], thi)
+    mlos = from_hulls(hslo, hshi)
+    return geo, m0, mlast, mlos
+
+
 
 
 def build_power_map_kernel_looped(
@@ -1626,6 +1811,9 @@ def build_power_map_kernel_looped(
     # Candidate index arrays exist only for orders >= 1 (order 0 has one
     # empty candidate and needs no indices).
     cand_orders = [o for o in group_orders if o >= 1 and groups[o].size]
+    # Middle segments (order >= 2) take the pair-mask chunk-skip path;
+    # the mask input is only plumbed when such segments exist.
+    has_mid = dyn_lists and any(o >= 2 for o in cand_orders)
 
     def kernel(scal_ref, walls_ref, kind_ref, phi_ref, *rest):
         k = len(cand_orders)
@@ -1645,20 +1833,28 @@ def build_power_map_kernel_looped(
             rest = rest[4 * k :]
         else:
             rest = rest[2 * k :]
-        # Shadow-wall lists (see run()): per-first-wall, per-(tile,
-        # last-wall) and per-tile LOS occluder index lists + counts.
-        # ALWAYS present: with shadow=False run() feeds identity lists,
-        # so the two kernels are the same program and the toggle is
-        # pure data -- compilers fold/contract loop bodies differently
-        # when an index is a constant vs an SMEM read (observed 1-ulp
-        # LOS drift at chunk=8), and bit-identity must not depend on
-        # that.
-        (
-            l0dat_ref, l0cnt_ref,
-            lastdat_ref, lastcnt_ref,
-            losdat_ref, loscnt_ref,
-        ) = rest[:6]
-        rest = rest[6:]
+        # Shadow-wall occluder data.  ALWAYS present: with shadow=False
+        # run() feeds identity lists / all-ones words, so the two
+        # kernels are the same program and the toggle is pure data --
+        # compilers fold/contract loop bodies differently when an index
+        # is a constant vs an SMEM read (observed 1-ulp LOS drift at
+        # chunk=8), and bit-identity must not depend on that.
+        # No-mid kernels (orders <= 1): first/last index lists + counts
+        # and a per-tile LOS chunk word (see shadow_wall_lists).
+        # Has-mid kernels (order >= 2): chunk-occupancy words for every
+        # segment plus the per-pair mid masks (see shadow_chunk_words /
+        # mid_pair_masks -- mixing fori lists and lax.cond chunks in
+        # one body compiled ~65x slower on Mosaic).
+        if has_mid:
+            (l0w_ref, lastw_ref, losw_ref, middat_ref) = rest[:4]
+            rest = rest[4:]
+        else:
+            (
+                l0dat_ref, l0cnt_ref,
+                lastdat_ref, lastcnt_ref,
+                losdat_ref, loscnt_ref,
+            ) = rest[:6]
+            rest = rest[6:]
         aux_ref, px_ref, py_ref = rest[:3]
         out_refs = rest[3:]
 
@@ -2058,16 +2254,14 @@ def build_power_map_kernel_looped(
                     if soft_mode and want_grad
                     else (blk,)
                 )
+
                 # First/last segments run a chunk-unrolled fori_loop
                 # over the shadow occluder list (or 0..W-1 when lists
-                # are off) -- the SAME loop structure either way,
-                # because Mosaic/XLA contract float ops differently in
-                # loop bodies than in straight-line code (measured
-                # ~1-ulp drift), and the bit-identity contract compares
-                # the two kernels.  _SHADOW_CHUNK walls per step keep
-                # near-static ILP; past-count lanes fold masked exact
-                # zeros (bitwise-neutral).  Middle segments stay
-                # statically unrolled in both.
+                # are off) -- the SAME loop structure either way (see
+                # the unpack comment).  _SHADOW_CHUNK walls per step
+                # keep near-static ILP; past-count lanes fold masked
+                # exact zeros (bitwise-neutral).  The dynamic-trip fori
+                # measured 25-32% faster than per-chunk lax.cond here.
                 def listed_loop(s, n_w, get, carry):
                     CH = _SHADOW_CHUNK
 
@@ -2095,8 +2289,49 @@ def build_power_map_kernel_looped(
                     )
                     return jax.lax.fori_loop(0, steps, body, carry)
 
+                # Middle segments (order >= 2) had NO occluder lists
+                # before round 5 (a per-pair list table would need W^3
+                # SMEM): they run MID_CHUNK-wall chunks with STATIC
+                # wall indices, skipping chunks whose pair-mask
+                # occupancy bit is clear via a scalar lax.cond
+                # (bit-identical, see mid_pair_masks).
+                def masked_chunks(word, s, carry):
+                    for chunk in range(0, W, MID_CHUNK):
+                        bit = (
+                            jax.lax.shift_right_logical(
+                                word, jnp.int32(chunk // MID_CHUNK)
+                            )
+                            & 1
+                        )
+
+                        def chunk_body(c, _c0=chunk, _s=s):
+                            for b_i in range(MID_CHUNK):
+                                w = _c0 + b_i
+                                if w < W:
+                                    c = blocked_step_hoisted(w, _s, c)
+                            return c
+
+                        carry = jax.lax.cond(
+                            bit != 0, chunk_body, lambda c: c, carry
+                        )
+                    return carry
+
                 for s in range(order + 1):
-                    if dyn_lists and s == 0:
+                    if dyn_lists and has_mid:
+                        # All segments via cond chunks (see unpack).
+                        if debug_skip_mid and 0 < s < order:
+                            # Measurement-only build (WRONG results):
+                            # drops the middle-segment blocked loop to
+                            # expose its share of the map time.
+                            continue
+                        if s == 0:
+                            word = l0w_ref[idx[0]]
+                        elif s == order:
+                            word = lastw_ref[0, 0, idx[order - 1]]
+                        else:
+                            word = middat_ref[idx[s - 1] * W + idx[s]]
+                        carry = masked_chunks(word, s, carry)
+                    elif dyn_lists and s == 0:
                         i0 = idx[0]
                         n_w = l0cnt_ref[i0]
 
@@ -2113,11 +2348,6 @@ def build_power_map_kernel_looped(
 
                         carry = listed_loop(s, n_w, getl, carry)
                     else:
-                        if debug_skip_mid:
-                            # Measurement-only build (WRONG results):
-                            # drops the middle-segment blocked loop to
-                            # expose its share of the map time.
-                            continue
                         for w in range(W):
                             carry = blocked_step_hoisted(w, s, carry)
                 if soft_mode and want_grad:
@@ -2253,11 +2483,34 @@ def build_power_map_kernel_looped(
                 if soft_mode and want_grad
                 else (blk,)
             )
-            # Per-tile LOS occluder list: walls off the list cannot
-            # intersect TX->pixel for any pixel in the tile (their hit
-            # is exactly 0).  Both variants loop via fori (same compiled
-            # structure) so the shadow toggle stays bit-identical.
-            if dyn_lists:
+            # Per-tile LOS occluders: walls off the list / chunk mask
+            # cannot intersect TX->pixel for any pixel in the tile
+            # (their hit is exactly 0).  Has-mid kernels use the
+            # chunk-occupancy word (lax.cond skips, consistent with
+            # their all-cond segment loops); no-mid kernels keep the
+            # fori list loop (same compiled structure as their
+            # first/last loops, shadow toggle bit-identical).
+            if dyn_lists and has_mid:
+                word = losw_ref[0, 0, 0]
+                for chunk in range(0, W, MID_CHUNK):
+                    bit = (
+                        jax.lax.shift_right_logical(
+                            word, jnp.int32(chunk // MID_CHUNK)
+                        )
+                        & 1
+                    )
+
+                    def chunk_body(c, _c0=chunk):
+                        for b_i in range(MID_CHUNK):
+                            w = _c0 + b_i
+                            if w < W:
+                                c = los_fold(read_patched(w), c)
+                        return c
+
+                    carry = jax.lax.cond(
+                        bit != 0, chunk_body, lambda c: c, carry
+                    )
+            elif dyn_lists:
                 n_w = loscnt_ref[0, 0, 0]
 
                 def los_get(kk):
@@ -2571,7 +2824,12 @@ def build_power_map_kernel_looped(
                 refine=int(
                     os.environ.get(
                         "DIFFERT2D_TPU_CULL_REFINE",
-                        "4" if total_cands > 1000 else "8",
+                        # Round 4 measured refine=4 best for >1000
+                        # cands; the round-5 mid-segment pair masks
+                        # cheapened kept candidates, so finer tables
+                        # pay again (cfg8: 261 ms at 16 vs 274 at 4,
+                        # 263 at 8, TPU v5e 2026-08-20).
+                        "16" if total_cands > 1000 else "8",
                     )
                 ),
                 sigmoid=sigmoid,
@@ -2601,51 +2859,73 @@ def build_power_map_kernel_looped(
                     ),
                 ]
 
-        # Shadow-wall occluder lists: the blocked loops for the
-        # first/last/LOS segments trip over these lists.  With
-        # shadow=False the lists are the identity (count W) -- the
-        # kernel program is identical either way, so the toggle stays
+        # Shadow-wall occluder data (lists for no-mid kernels, chunk
+        # words + pair masks for has-mid ones -- see the kernel's
+        # unpack comment).  With shadow=False the lists are the
+        # identity (count W) and the words all-ones -- the kernel
+        # program is identical either way, so the toggle stays
         # bit-identical by construction.
-        if shadow:
-            l0dat, l0cnt, ldat, lcnt, sdat, scnt = shadow_wall_lists(
-                walls32,
-                kind,
-                tx,
-                scalars[2],
-                scalars[0],
-                approx,
-                pxt.min(axis=1), pxt.max(axis=1),
-                pyt.min(axis=1), pyt.max(axis=1),
-                sigmoid=sigmoid,
-                tol=scalars[1],
-            )
+        tile_bounds = (
+            pxt.min(axis=1), pxt.max(axis=1),
+            pyt.min(axis=1), pyt.max(axis=1),
+        )
+        if has_mid:
+            if shadow:
+                l0w, lastw, losw = shadow_chunk_words(
+                    walls32, kind, tx, scalars[2], scalars[0], approx,
+                    *tile_bounds, sigmoid=sigmoid, tol=scalars[1],
+                )
+                middat = mid_pair_masks(
+                    walls32, kind, tx, scalars[2], scalars[0],
+                    approx, sigmoid=sigmoid, tol=scalars[1],
+                )
+            else:
+                l0w = jnp.full((W,), -1, jnp.int32)
+                lastw = jnp.full((n_tiles, 1, W), -1, jnp.int32)
+                losw = jnp.full((n_tiles, 1, 1), -1, jnp.int32)
+                middat = jnp.full((W * W,), -1, dtype=jnp.int32)
+            shadow_inputs = [l0w, lastw, losw, middat]
+        elif shadow:
+            shadow_inputs = list(shadow_wall_lists(
+                walls32, kind, tx, scalars[2], scalars[0], approx,
+                *tile_bounds, sigmoid=sigmoid, tol=scalars[1],
+            ))
         else:
             ident = jnp.broadcast_to(
                 jnp.arange(W, dtype=jnp.int32), (W, W)
             )
             full_w = jnp.full((W,), W, jnp.int32)
-            l0dat = ident.reshape(-1)
-            l0cnt = full_w
-            ldat = jnp.broadcast_to(ident, (n_tiles, W, W))
-            lcnt = jnp.broadcast_to(full_w[None, None, :], (n_tiles, 1, W))
-            sdat = jnp.broadcast_to(
-                jnp.arange(W, dtype=jnp.int32)[None, None, :],
-                (n_tiles, 1, W),
-            )
-            scnt = jnp.full((n_tiles, 1, 1), W, jnp.int32)
-        shadow_inputs = [l0dat, l0cnt, ldat, lcnt, sdat, scnt]
+            shadow_inputs = [
+                ident.reshape(-1),
+                full_w,
+                jnp.broadcast_to(ident, (n_tiles, W, W)),
+                jnp.broadcast_to(full_w[None, None, :], (n_tiles, 1, W)),
+                jnp.broadcast_to(
+                    jnp.arange(W, dtype=jnp.int32)[None, None, :],
+                    (n_tiles, 1, W),
+                ),
+                jnp.full((n_tiles, 1, 1), W, jnp.int32),
+            ]
         smem_all = pl.BlockSpec(memory_space=pltpu.SMEM)
         per_tile = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda i: (i, 0, 0), memory_space=pltpu.SMEM
         )
-        shadow_specs = [
-            smem_all,                    # l0dat [W*W]
-            smem_all,                    # l0cnt [W]
-            per_tile((1, W, W)),         # lastdat [T, W, W]
-            per_tile((1, 1, W)),         # lastcnt [T, 1, W]
-            per_tile((1, 1, W)),         # losdat [T, 1, W]
-            per_tile((1, 1, 1)),         # loscnt [T, 1, 1]
-        ]
+        if has_mid:
+            shadow_specs = [
+                smem_all,                # l0w [W]
+                per_tile((1, 1, W)),     # lastw [T, 1, W]
+                per_tile((1, 1, 1)),     # losw [T, 1, 1]
+                smem_all,                # middat [W*W]
+            ]
+        else:
+            shadow_specs = [
+                smem_all,                # l0dat [W*W]
+                smem_all,                # l0cnt [W]
+                per_tile((1, W, W)),     # lastdat [T, W, W]
+                per_tile((1, 1, W)),     # lastcnt [T, 1, W]
+                per_tile((1, 1, W)),     # losdat [T, 1, W]
+                per_tile((1, 1, 1)),     # loscnt [T, 1, 1]
+            ]
 
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         tile_spec = pl.BlockSpec(

@@ -181,6 +181,7 @@ def _make_sharded_pallas_fn(
         sigmoid=sigmoid,
         interpret=jax.default_backend() == "cpu",
         mode=mode,
+        alpha_hint=alpha if isinstance(alpha, (int, float)) else None,
     )
     scalars = jnp.array([alpha, tol, patch, r_coef, height], dtype=jnp.float32)
     txs = jnp.stack([tx.xy for tx in scene.transmitters.values()])

@@ -19,7 +19,7 @@ Layers:
 * :mod:`differt2d_tpu.utils` -- physics utilities.
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 from . import logic, ops, rt  # noqa: F401
 from ._runtime_typing import (  # noqa: F401

@@ -867,6 +867,65 @@ def test_cull_city_extract_bitwise():
     assert np.array_equal(outs[0], outs[1])
 
 
+def test_cull_shadow_vag_city_extract_bitwise():
+    """The city value+grad maps the bench drives (cfg6_vag/cfg7_vag)
+    keep culling AND shadow lists bit-identical on the 136-wall
+    extract -- the round-4 blocked-test wins ride the vag path, so the
+    exact-zero skip contract must hold for (val, gx, gy) there too."""
+    from differt2d_tpu.ops.pallas_kernels import build_power_map_kernel_looped
+    from differt2d_tpu.rt import path_candidate_matrices
+
+    scene = Scene.city_extract_scene()
+    arrays, pix, scal = _looped_args(scene)
+    groups = path_candidate_matrices(arrays.num_objects, 0, 1)
+    tx = scene.transmitters["tx"].xy
+    outs = []
+    for on in (False, True):
+        run = build_power_map_kernel_looped(
+            arrays.num_objects, groups, approx=True, interpret=True,
+            block_rows=8, cull=on, shadow=on, hoist_walls=True,
+            mode="value_and_grad",
+        )
+        outs.append(
+            jax.tree.map(
+                np.asarray,
+                run(pix, tx, arrays.walls, arrays.kind, arrays.phi, scal),
+            )
+        )
+    for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
+        assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_cull_shadow_vag_random_city_bitwise(seed):
+    """Randomized vag culled+shadowed vs plain bitwise suite on wall
+    soups at city-like density (order <= 2, mid pair masks riding the
+    vag path)."""
+    from differt2d_tpu.ops.pallas_kernels import build_power_map_kernel_looped
+    from differt2d_tpu.rt import path_candidate_matrices
+
+    scene = Scene.random_uniform_scene(
+        n_walls=12, key=jax.random.PRNGKey(100 + seed)
+    )
+    arrays, pix, scal = _looped_args(scene)
+    groups = path_candidate_matrices(arrays.num_objects, 0, 2)
+    tx = next(iter(scene.transmitters.values())).xy
+    outs = []
+    for on in (False, True):
+        run = build_power_map_kernel_looped(
+            arrays.num_objects, groups, approx=True, interpret=True,
+            block_rows=8, cull=on, shadow=on, mode="value_and_grad",
+        )
+        outs.append(
+            jax.tree.map(
+                np.asarray,
+                run(pix, tx, arrays.walls, arrays.kind, arrays.phi, scal),
+            )
+        )
+    for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
+        assert np.array_equal(a, b), f"seed={seed}"
+
+
 def test_cull_dispatch_flags(monkeypatch):
     """Auto dispatch enables culling exactly where it is sound: looped
     kernels under hard logic or hard_sigmoid; sigmoid maps and the env

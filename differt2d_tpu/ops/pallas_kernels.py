@@ -206,6 +206,41 @@ def _blk_from_m6(m6, soft_mode):
     return m6 >= 0.0
 
 
+def _zmargin(x, alpha, sigmoid: bool):
+    """Pre-activation margin of ``_soft(x, alpha, sigmoid)``: ``alpha*x``
+    (sigmoid) / ``alpha*x + 3`` (hard_sigmoid's relu6 shift), in the
+    same op order ``_soft`` applies -- so folded margins stay bit-equal
+    to the per-factor activations they replace."""
+    z = alpha * x
+    return z if sigmoid else z + 3.0
+
+
+def _folded_valid(z_ol, m6, sigmoid: bool):
+    """One activation for the folded VALUE-path validity.
+
+    ``z_ol`` is the running min of on_objects/loss pre-activation
+    margins (monotone activations commute with min EXACTLY: min selects
+    one argument and the activation is a pure function), ``m6`` the
+    blocked test's accumulated pre-clamp margin.  Hard mode also folds
+    the blocked complement -- ``1 - relu6(m)/6 == relu6(6-m)/6`` with
+    both sides pinned EXACTLY at m <= 0 / m >= 6, preserving the
+    culling/shadow exact-zero contracts.  Sigmoid must NOT fold it:
+    ``1 - sigmoid(m)`` is exactly 0 from m >= ~16.7 while
+    ``sigmoid(-m)`` only saturates at ~87.4, and the cull proofs rely
+    on the former -- so it keeps the explicit ``1 - blk`` pair.  The
+    final [0, 1] clamp in the hard branch is load-bearing (see
+    :func:`_blk_from_m6`)."""
+    if sigmoid:
+        blk_act = _blk_from_m6(m6, "sigmoid")
+        valid_pre = jnp.minimum(jax.nn.sigmoid(z_ol), 1.0 - blk_act)
+    else:
+        z_valid = jnp.minimum(z_ol, 6.0 - m6)
+        valid_pre = jnp.clip(
+            jnp.clip(z_valid, 0.0, 6.0) / 6.0, 0.0, 1.0
+        )
+    return jnp.nan_to_num(valid_pre)
+
+
 def _soft_grad(x, alpha, sigmoid: bool):
     """d activation(x) / dx (reference logic.py:220-255 derivatives).
 
@@ -629,14 +664,10 @@ def build_power_map_kernel(
                 # function -- letting on/loss collapse to ONE activation
                 # per candidate (cfg2 spent ~6 transcendentals per
                 # candidate here, the dominant non-geometry cost).
-                # ``_zm(x)`` is the activation's pre-image in the same
-                # op order _soft uses: ``alpha*x`` (sigmoid) /
-                # ``alpha*x + 3`` (hard_sigmoid's relu6 shift).
                 fold = bool(soft_mode) and not want_grad
 
                 def _zm(x):
-                    z = alpha * x
-                    return z if sigmoid else z + 3.0
+                    return _zmargin(x, alpha, sigmoid)
 
                 if fold:
                     zon = jnp.full_like(px, jnp.inf)
@@ -726,29 +757,13 @@ def build_power_map_kernel(
                 if not (soft_mode and want_grad) and not fold:
                     blk = _blk_from_m6(blk, soft_mode)
 
-                # --- validity (arg-min gradient selection with want_grad;
-                # the folded VALUE path applies ONE activation to the
-                # margin min.  hard mode also folds the blocked
-                # complement: 1 - relu6(m)/6 == relu6(6 - m)/6, with
-                # both sides pinned EXACTLY at m <= 0 / m >= 6, so the
-                # culling/shadow exact-zero contracts are unchanged.
-                # sigmoid must NOT fold the complement -- 1 - sigmoid(m)
-                # is exactly 0 for m >= ~16.7 while sigmoid(-m) only
-                # saturates at ~87.4, and the cull proofs rely on the
-                # former -- so it keeps the explicit 1 - blk pair.)
+                # --- validity (arg-min gradient selection with
+                # want_grad; the folded VALUE path applies ONE
+                # activation to the margin min -- see _folded_valid)
                 if fold:
-                    z_ol = jnp.minimum(zon, _zm(tol - loss))
-                    if sigmoid:
-                        blk_act = _blk_from_m6(blk, soft_mode)
-                        valid_pre = jnp.minimum(
-                            jax.nn.sigmoid(z_ol), 1.0 - blk_act
-                        )
-                    else:
-                        z_valid = jnp.minimum(z_ol, 6.0 - blk)
-                        valid_pre = jnp.clip(
-                            jnp.clip(z_valid, 0.0, 6.0) / 6.0, 0.0, 1.0
-                        )
-                    valid = jnp.nan_to_num(valid_pre)
+                    valid = _folded_valid(
+                        jnp.minimum(zon, _zm(tol - loss)), blk, sigmoid
+                    )
                 elif soft_mode:
                     loss_ok = _soft(tol - loss, alpha, sigmoid)
                     m1 = jnp.minimum(on, 1.0 - blk)
@@ -1534,7 +1549,7 @@ def _pack_chunk_words(mask):
 
 def shadow_chunk_words(
     walls32, kind, tx, patch, alpha, approx, x0, x1, y0, y1,
-    sigmoid=False, tol=None,
+    sigmoid=False, tol=None, geo=None,
 ):
     """Packed chunk-occupancy words for the first/last/LOS blocked
     loops of kernels that ALSO have middle segments (order >= 2).
@@ -1556,7 +1571,7 @@ def shadow_chunk_words(
     """
     geo, m0, mlast, mlos = _occluder_masks(
         walls32, kind, tx, patch, alpha, approx, x0, x1, y0, y1,
-        sigmoid=sigmoid, tol=tol,
+        sigmoid=sigmoid, tol=tol, geo=geo,
     )
     hz_free = geo["hz_free"]
     all_on = jnp.int32(-1)
@@ -1567,7 +1582,8 @@ def shadow_chunk_words(
 
 
 def mid_pair_masks(
-    walls32, kind, tx, patch, alpha, approx, sigmoid=False, tol=None
+    walls32, kind, tx, patch, alpha, approx, sigmoid=False, tol=None,
+    geo=None,
 ):
     """Packed per-(wall, wall) occluder bitmasks for MIDDLE segments.
 
@@ -1602,9 +1618,10 @@ def mid_pair_masks(
         chunk-c occupancy for the ordered pair (i, j).
     """
     W = int(walls32.shape[0])
-    geo = _shadow_geometry(
-        walls32, kind, tx, patch, alpha, approx, sigmoid, tol
-    )
+    if geo is None:
+        geo = _shadow_geometry(
+            walls32, kind, tx, patch, alpha, approx, sigmoid, tol
+        )
     llo, lhi = geo["llo"], geo["lhi"]
     olo, ohi = geo["olo"], geo["ohi"]
     occ_ok, ext, abs_pad = geo["occ_ok"], geo["ext"], geo["abs_pad"]
@@ -1700,7 +1717,7 @@ def shadow_wall_lists(
 
 def _occluder_masks(
     walls32, kind, tx, patch, alpha, approx, x0, x1, y0, y1,
-    sigmoid=False, tol=None,
+    sigmoid=False, tol=None, geo=None,
 ):
     """Boolean occluder masks for the first/last/LOS blocked segments.
 
@@ -1709,12 +1726,14 @@ def _occluder_masks(
     (see :func:`shadow_wall_lists` for the hulls and the soundness
     argument).  Consumed by both the index-list builder (tests,
     documentation) and the packed chunk-word builder the kernel reads.
+    ``geo`` lets callers share one :func:`_shadow_geometry` evaluation.
     """
     W = int(walls32.shape[0])
     T = int(x0.shape[0])
-    geo = _shadow_geometry(
-        walls32, kind, tx, patch, alpha, approx, sigmoid, tol
-    )
+    if geo is None:
+        geo = _shadow_geometry(
+            walls32, kind, tx, patch, alpha, approx, sigmoid, tol
+        )
     llo, lhi = geo["llo"], geo["lhi"]
     olo, ohi = geo["olo"], geo["ohi"]
     occ_ok, ext, abs_pad = geo["occ_ok"], geo["ext"], geo["abs_pad"]
@@ -1812,8 +1831,17 @@ def build_power_map_kernel_looped(
     # empty candidate and needs no indices).
     cand_orders = [o for o in group_orders if o >= 1 and groups[o].size]
     # Middle segments (order >= 2) take the pair-mask chunk-skip path;
-    # the mask input is only plumbed when such segments exist.
-    has_mid = dyn_lists and any(o >= 2 for o in cand_orders)
+    # the mask input is only plumbed when such segments exist.  The
+    # chunk-occupancy words hold one bit per MID_CHUNK-wall chunk in an
+    # int32, so past 32 chunks (W > 256 at chunk 8) the word scheme
+    # cannot represent the loop -- such kernels fall back to the
+    # list-based first/last loops + full-wall mid loop (the round-4
+    # structure, valid at any W).
+    has_mid = (
+        dyn_lists
+        and any(o >= 2 for o in cand_orders)
+        and -(-W // MID_CHUNK) <= 32
+    )
 
     def kernel(scal_ref, walls_ref, kind_ref, phi_ref, *rest):
         k = len(cand_orders)
@@ -2124,14 +2152,13 @@ def build_power_map_kernel_looped(
 
                 # on_objects (running-min gradient with want_grad; the
                 # soft VALUE path folds pre-activation margins into one
-                # running min -- monotone activations commute with min
-                # EXACTLY, see the unrolled twin -- so on/loss cost ONE
-                # activation per candidate instead of 2*order + 1).
+                # running min -- see _zmargin/_folded_valid -- so
+                # on/loss cost ONE activation per candidate instead of
+                # 2*order + 1).
                 fold = bool(soft_mode) and not want_grad
 
                 def _zm(x):
-                    z = alpha * x
-                    return z if sigmoid else z + 3.0
+                    return _zmargin(x, alpha, sigmoid)
 
                 if fold:
                     zon = jnp.full_like(px, jnp.inf)
@@ -2359,22 +2386,12 @@ def build_power_map_kernel_looped(
                     blk = _blk_from_m6(m6, soft_mode)
 
                 # Validity (arg-min gradient selection with want_grad;
-                # folded VALUE path: one activation on the margin min,
-                # hard mode also folding the blocked complement -- see
-                # the unrolled twin for the exactness/cull argument).
+                # folded VALUE path: one activation on the margin min
+                # -- see _folded_valid).
                 if fold:
-                    z_ol = jnp.minimum(zon, _zm(tol - loss))
-                    if sigmoid:
-                        blk_act = _blk_from_m6(m6, soft_mode)
-                        valid_pre = jnp.minimum(
-                            jax.nn.sigmoid(z_ol), 1.0 - blk_act
-                        )
-                    else:
-                        z_valid = jnp.minimum(z_ol, 6.0 - m6)
-                        valid_pre = jnp.clip(
-                            jnp.clip(z_valid, 0.0, 6.0) / 6.0, 0.0, 1.0
-                        )
-                    valid = jnp.nan_to_num(valid_pre)
+                    valid = _folded_valid(
+                        jnp.minimum(zon, _zm(tol - loss)), m6, sigmoid
+                    )
                 elif soft_mode:
                     loss_ok = _soft(tol - loss, alpha, sigmoid)
                     m1 = jnp.minimum(on, 1.0 - blk)
@@ -2550,20 +2567,11 @@ def build_power_map_kernel_looped(
                 (m6,) = carry
                 blk = _blk_from_m6(m6, soft_mode)
             if fold:
-                # Folded VALUE path (see make_cand_contrib): the loss
-                # gate is the constant activation(tol).
-                z_loss = alpha * tol if sigmoid else alpha * tol + 3.0
-                if sigmoid:
-                    blk_act = _blk_from_m6(m6, soft_mode)
-                    valid_pre = jnp.minimum(
-                        1.0 - blk_act, jax.nn.sigmoid(z_loss)
-                    )
-                else:
-                    z_valid = jnp.minimum(z_loss, 6.0 - m6)
-                    valid_pre = jnp.clip(
-                        jnp.clip(z_valid, 0.0, 6.0) / 6.0, 0.0, 1.0
-                    )
-                valid = jnp.nan_to_num(valid_pre)
+                # Folded VALUE path (see _folded_valid): the loss gate
+                # is the constant activation(tol).
+                valid = _folded_valid(
+                    _zmargin(tol, alpha, sigmoid), m6, sigmoid
+                )
             elif soft_mode:
                 loss_ok = _soft(tol, alpha, sigmoid)
                 valid_pre = jnp.minimum(1.0 - blk, loss_ok)
@@ -2871,13 +2879,18 @@ def build_power_map_kernel_looped(
         )
         if has_mid:
             if shadow:
+                geo = _shadow_geometry(
+                    walls32, kind, tx, scalars[2], scalars[0],
+                    approx, sigmoid, scalars[1],
+                )
                 l0w, lastw, losw = shadow_chunk_words(
                     walls32, kind, tx, scalars[2], scalars[0], approx,
                     *tile_bounds, sigmoid=sigmoid, tol=scalars[1],
+                    geo=geo,
                 )
                 middat = mid_pair_masks(
                     walls32, kind, tx, scalars[2], scalars[0],
-                    approx, sigmoid=sigmoid, tol=scalars[1],
+                    approx, sigmoid=sigmoid, tol=scalars[1], geo=geo,
                 )
             else:
                 l0w = jnp.full((W,), -1, jnp.int32)

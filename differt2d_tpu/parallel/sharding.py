@@ -12,6 +12,7 @@ replacement for the NCCL/MPI machinery a torch framework would hand-roll.
 
 from __future__ import annotations
 
+import numbers
 from typing import Any, Callable, Optional
 
 import jax
@@ -181,7 +182,8 @@ def _make_sharded_pallas_fn(
         sigmoid=sigmoid,
         interpret=jax.default_backend() == "cpu",
         mode=mode,
-        alpha_hint=alpha if isinstance(alpha, (int, float)) else None,
+        # numbers.Real admits numpy scalars too; traced alpha stays None.
+        alpha_hint=alpha if isinstance(alpha, numbers.Real) else None,
     )
     scalars = jnp.array([alpha, tol, patch, r_coef, height], dtype=jnp.float32)
     txs = jnp.stack([tx.xy for tx in scene.transmitters.values()])

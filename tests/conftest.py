@@ -26,17 +26,23 @@ _SO = os.path.join(_REPO, "differt2d_tpu", "rt", "libenumerate.so")
 if not os.path.exists(_SO) and shutil.which("g++") and shutil.which("make"):
     import fcntl
 
-    _lock_path = os.path.join(_REPO, "native", ".build.lock")
-    with open(_lock_path, "w") as _lock:
-        fcntl.flock(_lock, fcntl.LOCK_EX)
-        if not os.path.exists(_SO):
-            subprocess.run(
-                ["make", "-C", os.path.join(_REPO, "native")],
-                check=False,
-                capture_output=True,
-                timeout=120,
-            )
-        fcntl.flock(_lock, fcntl.LOCK_UN)
+    try:
+        _lock_path = os.path.join(_REPO, "native", ".build.lock")
+        with open(_lock_path, "w") as _lock:
+            fcntl.flock(_lock, fcntl.LOCK_EX)
+            if not os.path.exists(_SO):
+                subprocess.run(
+                    ["make", "-C", os.path.join(_REPO, "native")],
+                    check=False,
+                    capture_output=True,
+                    timeout=120,
+                )
+            fcntl.flock(_lock, fcntl.LOCK_UN)
+    except Exception:
+        # Best-effort: a slow/failed build must not abort collection --
+        # the suite then exercises the NumPy fallback and test_rt skips
+        # the native rows, exactly as on compiler-less boxes.
+        pass
 
 import jax  # noqa: E402
 

@@ -67,3 +67,27 @@ def test_every_public_module_page_renders(site):
 def test_notebooks_copied(site):
     assert (site / "notebooks" / "path_sampler.ipynb").exists()
     assert (site / "notebooks" / "city_coverage.html").exists()
+
+
+def test_meta_page_source_file_links_copied(tmp_path):
+    """Repo-root pages may link non-markdown repo files (e.g. README ->
+    bench.py); the builder copies them into meta/ instead of failing
+    the link check."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        from build_docs_site import build
+    finally:
+        sys.path.pop(0)
+    repo = tmp_path / "repo"
+    (repo / "docs").mkdir(parents=True)
+    (repo / "docs" / "index.md").write_text("# hi\n[readme](../README.md)\n")
+    (repo / "README.md").write_text(
+        "# readme\n[driver](bench.py) [docs](docs/index.md)\n"
+    )
+    (repo / "bench.py").write_text("print('hi')\n")
+    (repo / "mkdocs.yml").write_text("nav:\n  - Home: index.md\n")
+    out = tmp_path / "site"
+    errors = build(str(repo / "docs"), str(out), str(repo / "mkdocs.yml"))
+    assert errors == []
+    assert (out / "meta" / "bench.py").exists()
+    assert (out / "meta" / "README.html").exists()

@@ -1509,3 +1509,39 @@ def test_shadow_bitwise_on_image_plane_grid(alpha):
                 assert np.array_equal(xa, xb), (
                     f"sigmoid={sig} mode={mode} alpha={alpha}"
                 )
+
+
+def test_many_walls_order2_falls_back_to_lists():
+    """Past 32 chunks (W > 256 at MID_CHUNK=8) the int32 occupancy
+    words cannot represent the blocked loops, so order>=2 kernels must
+    fall back to the round-4 list scheme (shift-by->=32 would silently
+    skip chunks otherwise).  Shadow on/off stays bitwise there."""
+    from differt2d_tpu.ops.pallas_kernels import (
+        MID_CHUNK, build_power_map_kernel_looped)
+    from differt2d_tpu.tracer import scene_arrays
+
+    scene = Scene.random_uniform_scene(
+        n_walls=33 * MID_CHUNK + 4, key=jax.random.PRNGKey(11)
+    )
+    arrays = scene_arrays(scene)
+    W = int(arrays.walls.shape[0])
+    assert -(-W // MID_CHUNK) > 32
+    groups = {
+        1: np.asarray([[0], [7], [150], [W - 1]], np.int32),
+        2: np.asarray([[0, 9], [200, 3], [W - 1, 128]], np.int32),
+    }
+    X, Y = jnp.meshgrid(jnp.linspace(0.1, 0.9, 16), jnp.linspace(0.1, 0.9, 8))
+    pix = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+    scal = jnp.array([100.0, 1e-2, 0.0, 0.5, 0.1], dtype=jnp.float32)
+    tx = next(iter(scene.transmitters.values())).xy
+    outs = []
+    for sh in (False, True):
+        run = build_power_map_kernel_looped(
+            W, groups, approx=True, interpret=True, block_rows=8,
+            cull=False, shadow=sh,
+        )
+        outs.append(np.asarray(
+            run(pix, tx, arrays.walls, arrays.kind, arrays.phi, scal)
+        ))
+    assert np.array_equal(outs[0], outs[1])
+    assert np.all(np.isfinite(outs[0]))

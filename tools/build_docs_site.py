@@ -117,9 +117,14 @@ def _rewrite_links(html: str, root: str, base: str, is_meta: bool) -> str:
                 path = "../" + path[len("docs/"):]
             elif path.endswith(".md"):
                 path = os.path.basename(path)
+            # other repo files (sources, notebooks) keep their repo-
+            # relative path; the integrity pass copies them into meta/.
         else:
             resolved = os.path.normpath(os.path.join(base, path))
-            if resolved.startswith("..") and path.endswith(".md"):
+            if resolved.startswith(".."):
+                # A docs page linking a repo-root artifact: .md targets
+                # have rendered copies under meta/, anything else is
+                # copied there verbatim by the integrity pass.
                 path = root + "meta/" + os.path.basename(path)
         if path.endswith(".md"):
             path = _md_to_html_name(path)
@@ -189,6 +194,8 @@ def build(docs_dir: str, out_dir: str, config_path: str) -> list[str]:
 
     # Internal-link integrity: every relative href must resolve to a
     # produced file (anchors stripped; external and mailto skipped).
+    # Links into meta/ that point at real repo files (sources,
+    # notebooks linked from README etc.) are copied in on demand.
     for rel in sorted(rendered):
         path = os.path.join(out_dir, rel)
         with open(path, encoding="utf-8") as f:
@@ -199,8 +206,17 @@ def build(docs_dir: str, out_dir: str, config_path: str) -> list[str]:
             if not href or "://" in href or href.startswith("mailto:"):
                 continue
             target = os.path.normpath(os.path.join(base, href))
-            if not os.path.exists(os.path.join(out_dir, target)):
-                errors.append(f"{rel}: broken link -> {href}")
+            dst = os.path.join(out_dir, target)
+            if os.path.exists(dst):
+                continue
+            parts = target.replace(os.sep, "/").split("/")
+            if parts[0] == "meta" and len(parts) > 1:
+                src = os.path.join(repo_root, *parts[1:])
+                if os.path.isfile(src):
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    shutil.copyfile(src, dst)
+                    continue
+            errors.append(f"{rel}: broken link -> {href}")
 
     return errors
 

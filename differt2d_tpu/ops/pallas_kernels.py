@@ -1168,12 +1168,23 @@ def beam_keep_tables(
     for o in cand_orders:
         cand = np.asarray(groups[o])
         C = cand.shape[0]
-        # Occlusion cost gate, per order group: the proof sweeps
-        # candidates x walls x segments x sub-boxes; at city-order-2
-        # scale (18K candidates x 136 walls) it costs more device time
-        # than the ~6% extra cull saves (measured 2026-08-19), so huge
-        # groups keep the cheap beam proof only.
-        occl_o = do_occl and C * (o + 1) * int(walls32.shape[0]) <= 400_000
+        # Occlusion cost gates, per order group.  The proof sweeps
+        # candidates x walls x segments x sub-boxes, so its cost scales
+        # with the sub-box count: small groups afford it on the FINE
+        # beam grid (the round-3 scheme); huge groups (city order-2:
+        # 18K candidates x 136 walls, where the fine-grid sweep costs
+        # more than it saves -- measured 2026-08-19) run it on a
+        # separate COARSE grid instead.  Coarse occlusion is where the
+        # order-2 win lives: a one-tile ground-truth count found 2050
+        # beam-kept candidates of which 2 contribute -- the other 2048
+        # are building-shadowed, invisible to the beam proof.
+        occl_fine = (
+            do_occl and C * (o + 1) * int(walls32.shape[0]) <= 400_000
+        )
+        Ro = max(1, int(os.environ.get("DIFFERT2D_TPU_CULL_OCCL_REFINE",
+                                       "2")))
+        occl_coarse = do_occl and not occl_fine
+        occl_o = occl_fine or occl_coarse
         zeros_c = jnp.zeros((C,), jnp.float32)
         ones_c = jnp.ones((C,), jnp.float32)
         # ---- Phase 1 (box-independent): affine coefficient triples of
@@ -1287,143 +1298,184 @@ def beam_keep_tables(
         # box axis (bounded element budget keeps the [gb*T, C]
         # intermediates HBM-friendly at city-order-2 candidate counts
         # while small tables run in one fused step).
-        gb = 1
-        for div in range(R * R, 0, -1):
-            if (R * R) % div == 0 and div * T * C <= 2_000_000:
-                gb = div
-                break
-        n_steps = (R * R) // gb
-        box_stacks = tuple(
-            s.reshape(n_steps, gb * T) for s in (sub_x0, sub_x1, sub_y0, sub_y1)
-        )
+        def _box_stacks(boxes4, n_boxes):
+            gb = 1
+            for div in range(n_boxes, 0, -1):
+                if n_boxes % div == 0 and div * T * C <= 2_000_000:
+                    gb = div
+                    break
+            return gb, n_boxes // gb, tuple(
+                s.reshape(n_boxes // gb, gb * T) for s in boxes4
+            )
 
-        def subbox_zero(carry, boxes):
-            zero_acc = carry
-            bx0, bx1, by0, by1 = boxes
-            B = gb * T
+        # One body per (gb, occl) pass, created FRESH each time:
+        # lax.scan caches its jitted body by function identity +
+        # per-step avals, so a shared body object with a mutable
+        # config cell silently reused the beam-only compilation
+        # whenever two passes had equal per-step slice shapes
+        # (observed: the coarse occlusion pass culling NOTHING at
+        # Ro in {8, 16} while culling at {1, 2, 4}).
+        def make_subbox_zero(gb, run_occl):
+            def subbox_zero(carry, boxes):
+                zero_acc = carry
+                bx0, bx1, by0, by1 = boxes
+                B = gb * T
 
-            def iv(F):
-                return _ival(F, bx0, bx1, by0, by1)
+                def iv(F):
+                    return _ival(F, bx0, bx1, by0, by1)
 
-            # Beam (bounce out-of-band) proof, per sub-box.
-            culled = jnp.zeros((B, C), bool)
-            alive = jnp.ones((B, C), bool)
-            point_valid = [None] * (o + 2)
-            point_valid[o + 1] = alive
-            for jj, (num, den, is_vtx_c, dd_ok, dd) in enumerate(
-                bounce_tests
-            ):
-                j = o - 1 - jj
-                nlo, nhi = iv(num)
-                dlo, dhi = iv(den)
-                # Sign-definiteness with a margin: the kernel's f32
-                # arithmetic can land exactly on un == 0 (triggering
-                # the b = q guard) even when the interval excludes 0 by
-                # a hair, so proofs only trust denominators bounded away
-                # from zero by ~100x the f32 evaluation error.  The
-                # kernel evaluates un = (q - image).n with operands of
-                # coordinate scale, so its absolute error is
-                # ~1e-7 * scale^2; the interval here is den = dd * u,
-                # hence the floor is dd-scaled: 1e-5 * scale^2 * dd.
-                # NOT the t-interval pads: intervals here legitimately
-                # span orders of magnitude, and a 1e-3 relative margin
-                # was measured to disqualify enough culls to slow city
-                # order-2 maps 5x.
-                padd = 1e-5 * scale2 * dd[None, :] + 1e-5 * jnp.maximum(
-                    jnp.abs(dlo), jnp.abs(dhi)
+                # Beam (bounce out-of-band) proof, per sub-box.
+                culled = jnp.zeros((B, C), bool)
+                alive = jnp.ones((B, C), bool)
+                point_valid = [None] * (o + 2)
+                point_valid[o + 1] = alive
+                for jj, (num, den, is_vtx_c, dd_ok, dd) in enumerate(
+                    bounce_tests
+                ):
+                    j = o - 1 - jj
+                    nlo, nhi = iv(num)
+                    dlo, dhi = iv(den)
+                    # Sign-definiteness with a margin: the kernel's f32
+                    # arithmetic can land exactly on un == 0 (triggering
+                    # the b = q guard) even when the interval excludes 0 by
+                    # a hair, so proofs only trust denominators bounded away
+                    # from zero by ~100x the f32 evaluation error.  The
+                    # kernel evaluates un = (q - image).n with operands of
+                    # coordinate scale, so its absolute error is
+                    # ~1e-7 * scale^2; the interval here is den = dd * u,
+                    # hence the floor is dd-scaled: 1e-5 * scale^2 * dd.
+                    # NOT the t-interval pads: intervals here legitimately
+                    # span orders of magnitude, and a 1e-3 relative margin
+                    # was measured to disqualify enough culls to slow city
+                    # order-2 maps 5x.
+                    padd = 1e-5 * scale2 * dd[None, :] + 1e-5 * jnp.maximum(
+                        jnp.abs(dlo), jnp.abs(dhi)
+                    )
+                    sign_def = (
+                        (dlo > padd) | (dhi < -padd)
+                    ) & dd_ok[None, :]
+                    t_iv = _idiv((nlo, nhi), (dlo, dhi))
+                    out_of_band = _pad_outside(t_iv, lo_thr, hi_thr)
+                    is_vtx = is_vtx_c[None, :]
+                    culled = culled | (alive & sign_def & out_of_band & ~is_vtx)
+                    alive = alive & (sign_def | is_vtx)
+                    point_valid[j + 1] = alive
+
+                if run_occl:
+                    point_valid[0] = jnp.ones((B, C), bool)
+                    cx_t = 0.5 * (bx0 + bx1)
+                    cy_t = 0.5 * (by0 + by1)
+                    hx_t = 0.5 * (bx1 - bx0)
+                    hy_t = 0.5 * (by1 - by0)
+
+                    def to_aa(F):
+                        F0, Fx, Fy = F
+                        c = (
+                            F0[None, :]
+                            + Fx[None, :] * cx_t[:, None]
+                            + Fy[None, :] * cy_t[:, None]
+                        )
+                        return (
+                            c,
+                            jnp.broadcast_to(
+                                Fx[None, :] * hx_t[:, None], c.shape
+                            ),
+                            jnp.broadcast_to(
+                                Fy[None, :] * hy_t[:, None], c.shape
+                            ),
+                            jnp.zeros_like(c),
+                        )
+
+                    occl = jnp.zeros((B, C), bool)
+                    for s in range(o + 1):
+                        vmask = point_valid[s] & point_valid[s + 1]
+                        Cx, Cy, Ga = (to_aa(F) for F in forms[s])
+                        Dx, Dy, De = (to_aa(F) for F in forms[s + 1])
+                        Gx = _aa_lincomb(
+                            1.0, _aa_mul(Cx, De), -1.0, _aa_mul(Dx, Ga)
+                        )
+                        Gy = _aa_lincomb(
+                            1.0, _aa_mul(Cy, De), -1.0, _aa_mul(Dy, Ga)
+                        )
+                        g_ok = _sign_def(_aa_ival(Ga))
+                        adj1 = cand_j[:, s - 1] if s >= 1 else minus1
+                        adj2 = cand_j[:, s] if s <= o - 1 else minus1
+
+                        def wall_step(blocked, xs, *, _Gx=Gx, _Gy=Gy, _Cx=Cx,
+                                      _Cy=Cy, _Ga=Ga, _De=De, _g_ok=g_ok,
+                                      _vmask=vmask, _adj1=adj1, _adj2=adj2):
+                            for wb in range(WC):
+                                ax_, ay_, avx_, avy_, ok_, widx = (
+                                    x[wb] for x in xs
+                                )
+                                A1 = _aa_lincomb(ax_, _Ga, -1.0, _Cx)
+                                A2 = _aa_lincomb(ay_, _Ga, -1.0, _Cy)
+                                Q = _aa_lincomb(avy_, _Gx, -avx_, _Gy)
+                                i_q = _aa_ival(Q)
+                                q_ok = _sign_def(i_q)
+                                Pb = _aa_lincomb(avx_, A2, -avy_, A1)
+                                i_tb = _idiv(_aa_ival(_aa_mul(_De, Pb)), i_q)
+                                num_a = _aa_lincomb(
+                                    1.0, _aa_mul(_Gy, A1), -1.0, _aa_mul(_Gx, A2)
+                                )
+                                i_da = _aa_ival(_aa_mul(_Ga, Q))
+                                da_ok = _sign_def(i_da)
+                                i_ta = _idiv(_aa_ival(num_a), i_da)
+                                adj = (_adj1 == widx) | (_adj2 == widx)
+                                prove = (
+                                    _pad_inside(i_ta, lo_sat, hi_sat)
+                                    & _pad_inside(i_tb, lo_sat, hi_sat)
+                                    & q_ok
+                                    & _g_ok
+                                    & da_ok
+                                    & _vmask
+                                    & ok_
+                                    & ~adj[None, :]
+                                )
+                                blocked = blocked | prove
+                            return blocked, None
+
+                        occl, _ = jax.lax.scan(wall_step, occl, wall_xs)
+                    culled = culled | occl
+
+                return (
+                    zero_acc
+                    & culled.reshape(gb, T, C).all(axis=0),
+                    None,
                 )
-                sign_def = (
-                    (dlo > padd) | (dhi < -padd)
-                ) & dd_ok[None, :]
-                t_iv = _idiv((nlo, nhi), (dlo, dhi))
-                out_of_band = _pad_outside(t_iv, lo_thr, hi_thr)
-                is_vtx = is_vtx_c[None, :]
-                culled = culled | (alive & sign_def & out_of_band & ~is_vtx)
-                alive = alive & (sign_def | is_vtx)
-                point_valid[j + 1] = alive
 
-            if occl_o:
-                point_valid[0] = jnp.ones((B, C), bool)
-                cx_t = 0.5 * (bx0 + bx1)
-                cy_t = 0.5 * (by0 + by1)
-                hx_t = 0.5 * (bx1 - bx0)
-                hy_t = 0.5 * (by1 - by0)
+            return subbox_zero
 
-                def to_aa(F):
-                    F0, Fx, Fy = F
-                    c = (
-                        F0[None, :]
-                        + Fx[None, :] * cx_t[:, None]
-                        + Fy[None, :] * cy_t[:, None]
-                    )
-                    return (
-                        c,
-                        jnp.broadcast_to(
-                            Fx[None, :] * hx_t[:, None], c.shape
-                        ),
-                        jnp.broadcast_to(
-                            Fy[None, :] * hy_t[:, None], c.shape
-                        ),
-                        jnp.zeros_like(c),
-                    )
+        def run_pass(boxes4, n_boxes, occl_flag):
+            gb, _n_steps, stacks = _box_stacks(boxes4, n_boxes)
+            zero, _ = jax.lax.scan(
+                make_subbox_zero(gb, occl_flag),
+                jnp.ones((T, C), bool),
+                stacks,
+            )
+            return zero
 
-                occl = jnp.zeros((B, C), bool)
-                for s in range(o + 1):
-                    vmask = point_valid[s] & point_valid[s + 1]
-                    Cx, Cy, Ga = (to_aa(F) for F in forms[s])
-                    Dx, Dy, De = (to_aa(F) for F in forms[s + 1])
-                    Gx = _aa_lincomb(
-                        1.0, _aa_mul(Cx, De), -1.0, _aa_mul(Dx, Ga)
-                    )
-                    Gy = _aa_lincomb(
-                        1.0, _aa_mul(Cy, De), -1.0, _aa_mul(Dy, Ga)
-                    )
-                    g_ok = _sign_def(_aa_ival(Ga))
-                    adj1 = cand_j[:, s - 1] if s >= 1 else minus1
-                    adj2 = cand_j[:, s] if s <= o - 1 else minus1
-
-                    def wall_step(blocked, xs, *, _Gx=Gx, _Gy=Gy, _Cx=Cx,
-                                  _Cy=Cy, _Ga=Ga, _De=De, _g_ok=g_ok,
-                                  _vmask=vmask, _adj1=adj1, _adj2=adj2):
-                        for wb in range(WC):
-                            ax_, ay_, avx_, avy_, ok_, widx = (
-                                x[wb] for x in xs
-                            )
-                            A1 = _aa_lincomb(ax_, _Ga, -1.0, _Cx)
-                            A2 = _aa_lincomb(ay_, _Ga, -1.0, _Cy)
-                            Q = _aa_lincomb(avy_, _Gx, -avx_, _Gy)
-                            i_q = _aa_ival(Q)
-                            q_ok = _sign_def(i_q)
-                            Pb = _aa_lincomb(avx_, A2, -avy_, A1)
-                            i_tb = _idiv(_aa_ival(_aa_mul(_De, Pb)), i_q)
-                            num_a = _aa_lincomb(
-                                1.0, _aa_mul(_Gy, A1), -1.0, _aa_mul(_Gx, A2)
-                            )
-                            i_da = _aa_ival(_aa_mul(_Ga, Q))
-                            da_ok = _sign_def(i_da)
-                            i_ta = _idiv(_aa_ival(num_a), i_da)
-                            adj = (_adj1 == widx) | (_adj2 == widx)
-                            prove = (
-                                _pad_inside(i_ta, lo_sat, hi_sat)
-                                & _pad_inside(i_tb, lo_sat, hi_sat)
-                                & q_ok
-                                & _g_ok
-                                & da_ok
-                                & _vmask
-                                & ok_
-                                & ~adj[None, :]
-                            )
-                            blocked = blocked | prove
-                        return blocked, None
-
-                    occl, _ = jax.lax.scan(wall_step, occl, wall_xs)
-                culled = culled | occl
-
-            return zero_acc & culled.reshape(gb, T, C).all(axis=0), None
-
-        zero, _ = jax.lax.scan(
-            subbox_zero, jnp.ones((T, C), bool), box_stacks
+        zero = run_pass(
+            (sub_x0, sub_x1, sub_y0, sub_y1), R * R, occl_fine
         )
+        if occl_coarse:
+            # Coarse occlusion pass: its own Ro x Ro box grid, OR'd
+            # with the fine beam reduction.  Sound because both
+            # reductions independently prove every pixel of the tile
+            # zero; the (rare) mixed coverage -- beam proving one half,
+            # occlusion the other -- is simply not claimed.
+            frc = jnp.arange(Ro, dtype=jnp.float32) / Ro
+            cgx0 = x0[None, :] + (x1 - x0)[None, :] * frc[:, None]
+            cgx1 = cgx0 + (x1 - x0)[None, :] / Ro
+            cgy0 = y0[None, :] + (y1 - y0)[None, :] * frc[:, None]
+            cgy1 = cgy0 + (y1 - y0)[None, :] / Ro
+            cboxes = (
+                jnp.repeat(cgx0, Ro, axis=0),
+                jnp.repeat(cgx1, Ro, axis=0),
+                jnp.tile(cgy0, (Ro, 1)),
+                jnp.tile(cgy1, (Ro, 1)),
+            )
+            zero = zero | run_pass(cboxes, Ro * Ro, True)
         keep_by_order[o] = ~zero
     return keep_by_order
 
@@ -3592,6 +3644,7 @@ def get_fused_run(
             # reuse the stale kernel.
             os.environ.get("DIFFERT2D_TPU_CULL_OCCLUSION", "0"),
             os.environ.get("DIFFERT2D_TPU_CULL_REFINE", ""),
+            os.environ.get("DIFFERT2D_TPU_CULL_OCCL_REFINE", ""),
             os.environ.get("DIFFERT2D_TPU_BLOCK_ROWS", ""),
             os.environ.get("DIFFERT2D_TPU_SHADOW_CHUNK", ""),
             os.environ.get("DIFFERT2D_TPU_DEBUG_SKIP_MID", ""),

@@ -1092,7 +1092,10 @@ def main() -> int:
     """
     attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "8"))
     probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "180"))
-    device_timeout = float(os.environ.get("BENCH_DEVICE_TIMEOUT", "3600"))
+    # The full sweep measures ~35 min with a warm compile cache; leave
+    # headroom for a cold cache / slow tunnel before declaring the run
+    # hung (a kill mid-sweep still salvages the streamed partials).
+    device_timeout = float(os.environ.get("BENCH_DEVICE_TIMEOUT", "5400"))
     cpu_timeout = float(os.environ.get("BENCH_CPU_TIMEOUT", "1800"))
     inner_tries = int(os.environ.get("BENCH_INNER_RETRIES", "2")) + 1
     force_cpu = os.environ.get("BENCH_FORCE_CPU") == "1"

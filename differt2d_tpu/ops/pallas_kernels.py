@@ -1951,11 +1951,40 @@ def build_power_map_kernel_looped(
             if cull:
                 prm = prm_ref_by_order[order]
                 n_act = cnt_ref_by_order[order][0, 0, 0]
+                B = max(1, cand_block)
+                if B == 1:
+                    def body(i, a):
+                        return step(prm[0, 0, i], a)
 
-                def body(i, a):
-                    return step(prm[0, 0, i], a)
+                    return jax.lax.fori_loop(0, n_act, body, carry)
 
-                return jax.lax.fori_loop(0, n_act, body, carry)
+                # Blocked culled loop: B candidates per fori step for
+                # cross-candidate ILP; past-count lanes compute a
+                # (clamped-index) candidate and DISCARD it via where --
+                # the old carry is selected bitwise, so the result is
+                # exactly the 1-per-step loop's.
+                def body_b(i, a):
+                    for b_i in range(B):
+                        k = i * B + b_i
+                        idx_c = prm[
+                            0, 0,
+                            jnp.minimum(k, jnp.maximum(n_act - 1, 0)),
+                        ]
+                        a2 = step(idx_c, a)
+                        keep_lane = k < n_act
+                        a = jax.tree.map(
+                            lambda old, new: jnp.where(
+                                keep_lane, new, old
+                            ),
+                            a,
+                            a2,
+                        )
+                    return a
+
+                steps = jax.lax.div(
+                    n_act + B - 1, jnp.int32(B)
+                )
+                return jax.lax.fori_loop(0, steps, body_b, carry)
             B = max(1, min(cand_block, count))
             nb = count // B
 
@@ -3645,6 +3674,7 @@ def get_fused_run(
             os.environ.get("DIFFERT2D_TPU_CULL_OCCLUSION", "0"),
             os.environ.get("DIFFERT2D_TPU_CULL_REFINE", ""),
             os.environ.get("DIFFERT2D_TPU_CULL_OCCL_REFINE", ""),
+            os.environ.get("DIFFERT2D_TPU_CAND_BLOCK", ""),
             os.environ.get("DIFFERT2D_TPU_BLOCK_ROWS", ""),
             os.environ.get("DIFFERT2D_TPU_SHADOW_CHUNK", ""),
             os.environ.get("DIFFERT2D_TPU_DEBUG_SKIP_MID", ""),
@@ -3701,6 +3731,11 @@ def get_fused_run(
             # tiles buy tighter per-tile candidate culling exactly when
             # there are many candidates to cull.
             block_rows=looped_rows,
+            # Candidates per culled-loop fori step (cross-candidate
+            # ILP; bit-identical masked tail).
+            cand_block=int(
+                os.environ.get("DIFFERT2D_TPU_CAND_BLOCK", "1")
+            ),
             # Measurement-only knob (WRONG results when set): exposes
             # the middle-segment blocked loop's share of the map time.
             debug_skip_mid=os.environ.get(

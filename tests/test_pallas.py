@@ -1545,3 +1545,26 @@ def test_many_walls_order2_falls_back_to_lists():
         ))
     assert np.array_equal(outs[0], outs[1])
     assert np.all(np.isfinite(outs[0]))
+
+
+def test_culled_cand_block_bitwise():
+    """B candidates per culled fori step must be bit-identical to the
+    1-per-step loop (the masked tail discards computed lanes via
+    bitwise where)."""
+    from differt2d_tpu.ops.pallas_kernels import build_power_map_kernel_looped
+    from differt2d_tpu.rt import path_candidate_matrices
+
+    scene = Scene.random_uniform_scene(n_walls=9, key=jax.random.PRNGKey(21))
+    arrays, pix, scal = _looped_args(scene)
+    groups = path_candidate_matrices(arrays.num_objects, 0, 2)
+    tx = next(iter(scene.transmitters.values())).xy
+    outs = {}
+    for B in (1, 3):
+        run = build_power_map_kernel_looped(
+            arrays.num_objects, groups, approx=True, interpret=True,
+            block_rows=8, cull=True, shadow=True, cand_block=B,
+        )
+        outs[B] = np.asarray(
+            run(pix, tx, arrays.walls, arrays.kind, arrays.phi, scal)
+        )
+    assert np.array_equal(outs[1], outs[3])

@@ -997,6 +997,7 @@ def beam_keep_tables(
     occlusion: bool = True,
     refine: int = 4,
     sigmoid: bool = False,
+    tol=None,
 ):
     """Per-(pixel tile, candidate) conservative keep mask for tile-beam
     candidate culling.
@@ -1137,6 +1138,17 @@ def beam_keep_tables(
             jnp.abs(lo), jnp.abs(hi)
         )
         return (hi + pad < lo_cut) | (lo - pad > hi_cut)
+
+    # Exact first-wall visibility kill (tile-independent; needs tol for
+    # its hazard gate and tx/patch for the geometry; always on when
+    # available -- it is two [W, W] sweeps, far below table cost).
+    first_dead = None
+    if tx is not None and tol is not None:
+        first_dead = first_wall_visibility_dead(
+            walls32, kind, tx,
+            patch if patch is not None else jnp.float32(0.0),
+            alpha, approx, sigmoid, tol,
+        )
 
     do_occl = occlusion and tx is not None
     if do_occl:
@@ -1476,8 +1488,171 @@ def beam_keep_tables(
                 jnp.tile(cgy1, (Ro, 1)),
             )
             zero = zero | run_pass(cboxes, Ro * Ro, True)
+        if first_dead is not None and o >= 1:
+            zero = zero | first_dead[
+                jnp.asarray(cand[:, 0], dtype=jnp.int32)
+            ][None, :]
         keep_by_order[o] = ~zero
     return keep_by_order
+
+
+def first_wall_visibility_dead(
+    walls32, kind, tx, patch, alpha, approx, sigmoid, tol
+):
+    """Exact per-first-wall occlusion kill mask ``dead[W]``.
+
+    ``dead[i]`` proves that EVERY candidate whose first wall is ``i``
+    contributes exact zeros at every pixel: the first path segment runs
+    TX -> b1 with b1 ON wall i's line (the kernel constructs it as the
+    line intersection); wherever b1 lies inside the contains-dilated
+    span, the segment is strictly blocked (some wall's ``hit``
+    saturates to exactly 1, so ``1 - blk == 0`` and the soft-AND pins
+    ``valid`` -- and, hard_sigmoid/f32-sigmoid derivatives being
+    exactly zero strictly inside saturation, both analytic partials --
+    to exact zeros); wherever b1 leaves the span, ``contains``
+    saturates to 0 instead; un == 0 pixels are covered by the loss >= 1
+    hazard argument (:func:`_shadow_geometry`).  Unlike the interval
+    occlusion proof this is EXACT geometry, and unlike the per-tile
+    tables it is tile-independent, so one mask kills candidates
+    globally.
+
+    Geometry (all vectorized ``[W_target, W_blocker]``): shrink each
+    eligible blocker to the parameter range where a crossing saturates
+    (``[band1 - tol_seg + pad, 1 + tol_seg - band1 - pad]``, patched
+    endpoints), require it strictly between TX and wall i's line (both
+    shrunk endpoints on TX's side, distance-floor margins), and project
+    its endpoints along rays from TX onto wall i's line.  Along a
+    straight blocker the segment-crossing ratio ``lambda = 1 -
+    s_p/s_tx`` (signed line-i distances) is AFFINE in the blocker's
+    parameter and the projected wall-i parameter is monotone (its
+    denominator ``s_tx - s_p`` is sign-definite there), so endpoint
+    checks bound both exactly: the blocker casts the t-interval between
+    its endpoint projections, fully saturated when both endpoint
+    lambdas sit strictly inside the t_seg saturation band.  ``dead[i]``
+    iff the union of (pad-shrunken) shadow intervals covers the
+    (pad-grown) dilated span ``[-(band0 + pad_t), 1 + band0 + pad_t]``.
+
+    Soundness is policed by the randomized culled-vs-unculled bitwise
+    suites and the ``DIFFERT2D_TPU_CULL_CHECK`` canary like every other
+    cull proof.  Vertex / zero-length first walls are never killed
+    (their bounce is pinned, not line-bound); under the hazard gate the
+    mask falls back to all-False.
+    """
+    W = int(walls32.shape[0])
+    a = walls32[:, 0, :]
+    b = walls32[:, 1, :]
+    d = b - a
+    dd = jnp.sum(d * d, axis=-1)
+    tx32 = jnp.asarray(tx, jnp.float32)
+    kind_i32 = kind.astype(jnp.int32)
+    if approx:
+        z0 = _SIGMOID_Z0 if sigmoid else _HARD_Z
+        z1 = _SIGMOID_Z1 if sigmoid else _HARD_Z
+        alpha_f = jnp.maximum(alpha.astype(jnp.float32), 1e-6)
+        band0 = z0 / alpha_f
+        band1 = z1 / alpha_f
+    else:
+        band0 = jnp.float32(0.0)
+        band1 = jnp.float32(0.0)
+    seg_tol = 0.005
+    pad_t = 0.01
+    pad = _CULL_PAD_ABS + _CULL_PAD_REL * (1.0 + band0)
+
+    # Target span of b1 on wall i, grown by the pads.
+    span_lo = -(band0 + pad_t) - pad
+    span_hi = 1.0 + band0 + pad_t + pad
+
+    # Shrunk, patched blocker endpoints (params where a crossing's
+    # wall factor saturates, backed off by the pads).
+    p_f = jnp.asarray(patch, jnp.float32)
+    aw = a - p_f * d
+    av = (b + p_f * d) - aw
+    blo = band1 - seg_tol + pad
+    bhi = 1.0 + seg_tol - band1 - pad
+    p1 = aw + blo * av
+    p2 = aw + bhi * av
+    blocker_ok = (
+        (kind_i32 != KIND_VERTEX) & (dd > 0.0) & (bhi > blo)
+    )
+
+    # Signed distances to wall i's line (unnormalized normal n_i).
+    n_i = jnp.stack([d[:, 1], -d[:, 0]], axis=-1)  # [W, 2]
+    scale = jnp.maximum(jnp.max(jnp.abs(walls32)), 1.0)
+    scale = jnp.maximum(scale, jnp.max(jnp.abs(tx32)))
+    floor = 1e-4 * scale * scale  # sign-definiteness margin (~|n| * len)
+
+    # s(q, i) = (q - a_i) . n_i
+    s_p1 = jnp.einsum("bk,ik->ib", p1, n_i) - jnp.sum(a * n_i, -1)[:, None]
+    s_p2 = jnp.einsum("bk,ik->ib", p2, n_i) - jnp.sum(a * n_i, -1)[:, None]
+    s_tx = jnp.sum((tx32[None, :] - a) * n_i, axis=-1)  # [W_i]
+    sg = jnp.sign(s_tx)[:, None]
+    tx_ok = jnp.abs(s_tx) > floor  # [W_i]
+    side_ok = (s_p1 * sg > floor) & (s_p2 * sg > floor)
+
+    # t_seg ratio at each endpoint's crossing: lambda = 1 - s_p / s_tx,
+    # affine along the blocker -> endpoint checks bound it exactly.
+    s_tx_safe = jnp.where(tx_ok, s_tx, 1.0)[:, None]
+    lam1 = 1.0 - s_p1 / s_tx_safe
+    lam2 = 1.0 - s_p2 / s_tx_safe
+    lam_lo = band1 - seg_tol + pad
+    lam_hi = 1.0 + seg_tol - band1 - pad
+    lam_ok = (
+        (lam1 > lam_lo) & (lam1 < lam_hi)
+        & (lam2 > lam_lo) & (lam2 < lam_hi)
+    )
+
+    # Endpoint projections onto wall i's line (param t_i): the ray
+    # TX -> p crosses at u = s_tx / (s_tx - s_p) (sign-definite
+    # denominator given lam in (0, 1)).
+    def t_of(p, s_p):
+        den = s_tx[:, None] - s_p
+        den = jnp.where(jnp.abs(den) > 0.0, den, 1.0)
+        u = s_tx[:, None] / den
+        q = tx32[None, None, :] + u[..., None] * (
+            p[None, :, :] - tx32[None, None, :]
+        )
+        return jnp.einsum(
+            "ibk,ik->ib", q - a[:, None, :], d
+        ) / jnp.where(dd > 0.0, dd, 1.0)[:, None]
+
+    t1 = t_of(p1, s_p1)
+    t2 = t_of(p2, s_p2)
+    valid_iv = (
+        blocker_ok[None, :]
+        & side_ok
+        & lam_ok
+        & tx_ok[:, None]
+        & (jnp.arange(W)[None, :] != jnp.arange(W)[:, None])
+    )
+    t_pad = _CULL_PAD_ABS + _CULL_PAD_REL * jnp.maximum(
+        jnp.abs(t1), jnp.abs(t2)
+    )
+    starts = jnp.where(valid_iv, jnp.minimum(t1, t2) + t_pad, jnp.inf)
+    ends = jnp.where(valid_iv, jnp.maximum(t1, t2) - t_pad, -jnp.inf)
+
+    # Union coverage of [span_lo, span_hi] by the shadow intervals.
+    order = jnp.argsort(starts, axis=1)
+    st = jnp.take_along_axis(starts, order, axis=1)
+    en = jnp.take_along_axis(ends, order, axis=1)
+
+    def cover_step(running, se):
+        s_k, e_k = se
+        nxt = jnp.where(s_k <= running, jnp.maximum(running, e_k), running)
+        return nxt, None
+
+    running, _ = jax.lax.scan(
+        cover_step,
+        jnp.full((W,), span_lo),
+        (st.T, en.T),
+    )
+    dead = running >= span_hi
+
+    # Never kill vertex / degenerate first walls; hazard gate -> none.
+    dead = dead & (kind_i32 != KIND_VERTEX) & (dd > 0.0)
+    geo = _shadow_geometry(
+        walls32, kind, tx, patch, alpha, approx, sigmoid, tol
+    )
+    return jnp.where(geo["hz_free"], dead, False)
 
 
 def _shadow_geometry(
@@ -2922,6 +3097,7 @@ def build_power_map_kernel_looped(
                     )
                 ),
                 sigmoid=sigmoid,
+                tol=scalars[1],
             )
             for o in cand_orders:
                 keep = keep_by_order[o]

@@ -1568,3 +1568,43 @@ def test_culled_cand_block_bitwise():
             run(pix, tx, arrays.walls, arrays.kind, arrays.phi, scal)
         )
     assert np.array_equal(outs[1], outs[3])
+
+
+def test_first_wall_visibility_dead_sound():
+    """Ground-truth soundness of the exact first-wall visibility kill:
+    no pixel may have a valid order-1 path whose (first) wall the mask
+    declares dead.  Checked against brute-force per-candidate validity
+    (trace_paths) on dense sample grids for random scenes and the city
+    extract; effectiveness asserted on the extract (the mask is the
+    round-5 candidate-count lever: 73/136 walls provably dead)."""
+    from differt2d_tpu.ops.pallas_kernels import first_wall_visibility_dead
+    from differt2d_tpu.tracer import scene_arrays, trace_paths
+
+    def check(scene, nx, min_dead=0):
+        arr = scene_arrays(scene)
+        tx = next(iter(scene.transmitters.values())).xy
+        dead = np.asarray(first_wall_visibility_dead(
+            jnp.asarray(arr.walls, jnp.float32), arr.kind, tx,
+            jnp.float32(0.0), jnp.float32(100.0), True, False,
+            jnp.float32(1e-2),
+        ))
+        assert dead.sum() >= min_dead
+        xs = np.linspace(0.015, 0.985, nx)
+        for px in xs:
+            for py in xs:
+                out = trace_paths(
+                    scene, tx, jnp.asarray([px, py]),
+                    min_order=1, max_order=1, approx=True,
+                )
+                v = np.asarray(out[1]["valid"]) > 0
+                cands = np.asarray(out[1]["candidates"]).ravel()
+                assert not np.any(v & dead[cands]), (px, py)
+
+    for seed in (2, 31):
+        check(
+            Scene.random_uniform_scene(
+                n_walls=14, key=jax.random.PRNGKey(seed)
+            ),
+            nx=7,
+        )
+    check(Scene.city_extract_scene(), nx=6, min_dead=40)

@@ -1143,12 +1143,18 @@ def beam_keep_tables(
     # its hazard gate and tx/patch for the geometry; always on when
     # available -- it is two [W, W] sweeps, far below table cost).
     first_dead = None
+    pair_dead = None
     if tx is not None and tol is not None:
+        patch_f = patch if patch is not None else jnp.float32(0.0)
         first_dead = first_wall_visibility_dead(
-            walls32, kind, tx,
-            patch if patch is not None else jnp.float32(0.0),
-            alpha, approx, sigmoid, tol,
+            walls32, kind, tx, patch_f, alpha, approx, sigmoid, tol,
         )
+        if any(o >= 2 for o in cand_orders):
+            # Exact pair-level kill for MIDDLE segments (same exactness
+            # family; see pair_occlusion_dead).
+            pair_dead = pair_occlusion_dead(
+                walls32, kind, tx, patch_f, alpha, approx, sigmoid, tol,
+            )
 
     do_occl = occlusion and tx is not None
     if do_occl:
@@ -1492,6 +1498,12 @@ def beam_keep_tables(
             zero = zero | first_dead[
                 jnp.asarray(cand[:, 0], dtype=jnp.int32)
             ][None, :]
+        if pair_dead is not None and o >= 2:
+            cand_j32 = jnp.asarray(cand, dtype=jnp.int32)
+            for s in range(1, o):
+                zero = zero | pair_dead[
+                    cand_j32[:, s - 1], cand_j32[:, s]
+                ][None, :]
         keep_by_order[o] = ~zero
     return keep_by_order
 
@@ -1594,8 +1606,16 @@ def first_wall_visibility_dead(
     s_tx_safe = jnp.where(tx_ok, s_tx, 1.0)[:, None]
     lam1 = 1.0 - s_p1 / s_tx_safe
     lam2 = 1.0 - s_p2 / s_tx_safe
-    lam_lo = band1 - seg_tol + pad
-    lam_hi = 1.0 + seg_tol - band1 - pad
+    # The monotone-projection argument needs lambda STRICTLY inside
+    # (0, 1): the ray-projection denominator is lambda * s_tx, so a
+    # lambda band reaching 0 (hard logic's tol relaxation) admits a
+    # pole and the endpoint interval no longer bounds the shadow
+    # (caught by the hard-logic bitwise suite).  Clamp with a margin;
+    # crossings within 0.1% of either segment end are simply not
+    # claimed.
+    lam_margin = 1e-3
+    lam_lo = jnp.maximum(band1 - seg_tol + pad, lam_margin)
+    lam_hi = jnp.minimum(1.0 + seg_tol - band1 - pad, 1.0 - lam_margin)
     lam_ok = (
         (lam1 > lam_lo) & (lam1 < lam_hi)
         & (lam2 > lam_lo) & (lam2 < lam_hi)
@@ -1630,25 +1650,200 @@ def first_wall_visibility_dead(
     starts = jnp.where(valid_iv, jnp.minimum(t1, t2) + t_pad, jnp.inf)
     ends = jnp.where(valid_iv, jnp.maximum(t1, t2) - t_pad, -jnp.inf)
 
-    # Union coverage of [span_lo, span_hi] by the shadow intervals.
-    order = jnp.argsort(starts, axis=1)
-    st = jnp.take_along_axis(starts, order, axis=1)
-    en = jnp.take_along_axis(ends, order, axis=1)
-
-    def cover_step(running, se):
-        s_k, e_k = se
-        nxt = jnp.where(s_k <= running, jnp.maximum(running, e_k), running)
-        return nxt, None
-
-    running, _ = jax.lax.scan(
-        cover_step,
-        jnp.full((W,), span_lo),
-        (st.T, en.T),
-    )
-    dead = running >= span_hi
+    # Union coverage of [span_lo, span_hi] by the shadow intervals
+    # (vectorized cummax criterion -- see _span_covered).
+    dead = _span_covered(starts, ends, span_lo, span_hi)
 
     # Never kill vertex / degenerate first walls; hazard gate -> none.
     dead = dead & (kind_i32 != KIND_VERTEX) & (dd > 0.0)
+    geo = _shadow_geometry(
+        walls32, kind, tx, patch, alpha, approx, sigmoid, tol
+    )
+    return jnp.where(geo["hz_free"], dead, False)
+
+
+def pair_occlusion_dead(
+    walls32, kind, tx, patch, alpha, approx, sigmoid, tol
+):
+    """Exact per-(upstream, downstream)-wall occlusion kill
+    ``dead[W, W]`` for MIDDLE path segments.
+
+    ``dead[i, j]`` proves every candidate with consecutive walls
+    (i, j) contributes exact zeros: the mid segment runs b_up -> b_dn
+    with b_up on wall i's contains-dilated span and b_dn on wall j's
+    line; wherever both bounces sit inside their spans the segment is
+    strictly blocked (saturated hit == 1 for some wall), and outside a
+    span ``contains`` saturates instead -- :func:`first_wall_visibility_dead`'s
+    argument with the fixed TX replaced by wall i's span.
+
+    Exactness transfers because the span is a SEGMENT (convex hull of
+    its two endpoints): for a target point q, the set of sources whose
+    segment to q strictly crosses a convex blocker is convex (bounded
+    by the blocker and its two away-rays), so checking wall i's two
+    (pad-grown) span endpoints covers every source on the span; and
+    the crossing ratio ``lambda(s, k) = 1 - s_K(k)/s_src(s)`` (signed
+    distances to wall j's line) is affine in each argument with a
+    sign-definite denominator, so its extremes over (span x blocker)
+    sit at the four endpoint combinations.  Each blocker therefore
+    casts the INTERSECTION of its two per-endpoint shadow intervals on
+    wall j, fully saturated when all four corner lambdas are strictly
+    in-band; ``dead[i, j]`` iff the union covers wall j's span.
+
+    Tile-independent, so one [W, W] mask kills candidate pairs
+    globally at every order >= 2.  Pairs involving vertex or
+    zero-length walls are never killed; the hazard gate falls back to
+    all-False.  Cost: one [W, W, W] sweep (2.5M lanes at city scale).
+    """
+    W = int(walls32.shape[0])
+    a = walls32[:, 0, :]
+    b = walls32[:, 1, :]
+    d = b - a
+    dd = jnp.sum(d * d, axis=-1)
+    kind_i32 = kind.astype(jnp.int32)
+    if approx:
+        z0 = _SIGMOID_Z0 if sigmoid else _HARD_Z
+        z1 = _SIGMOID_Z1 if sigmoid else _HARD_Z
+        alpha_f = jnp.maximum(alpha.astype(jnp.float32), 1e-6)
+        band0 = z0 / alpha_f
+        band1 = z1 / alpha_f
+    else:
+        band0 = jnp.float32(0.0)
+        band1 = jnp.float32(0.0)
+    seg_tol = 0.005
+    pad_t = 0.01
+    pad = _CULL_PAD_ABS + _CULL_PAD_REL * (1.0 + band0)
+    span_lo = -(band0 + pad_t) - pad
+    span_hi = 1.0 + band0 + pad_t + pad
+
+    # Upstream span endpoints (pad-grown), per wall i: [W, 2].
+    S1 = a + span_lo * d
+    S2 = a + span_hi * d
+
+    # Shrunk patched blockers, per wall k: [W, 2].
+    p_f = jnp.asarray(patch, jnp.float32)
+    aw = a - p_f * d
+    av = (b + p_f * d) - aw
+    blo = band1 - seg_tol + pad
+    bhi = 1.0 + seg_tol - band1 - pad
+    P1 = aw + blo * av
+    P2 = aw + bhi * av
+    wall_usable = (kind_i32 != KIND_VERTEX) & (dd > 0.0)
+    blocker_ok = wall_usable & (bhi > blo)
+
+    # Signed distances to wall j's line: s(q, j) = (q - a_j) . n_j.
+    n_j = jnp.stack([d[:, 1], -d[:, 0]], axis=-1)  # [W, 2]
+    a_dot_n = jnp.sum(a * n_j, axis=-1)  # [W]
+    scale = jnp.maximum(jnp.max(jnp.abs(walls32)), 1.0)
+    floor = 1e-4 * scale * scale
+
+    def sd(q):  # q [W_q, 2] -> [W_j, W_q]
+        return jnp.einsum("qk,jk->jq", q, n_j) - a_dot_n[:, None]
+
+    s_S1 = sd(S1)  # [W_j, W_i]
+    s_S2 = sd(S2)
+    s_P1 = sd(P1)  # [W_j, W_k]
+    s_P2 = sd(P2)
+
+    # Source side: BOTH span endpoints strictly off wall j's line, same
+    # side (else no sound kill for that (i, j)).
+    sg = jnp.sign(s_S1)
+    src_ok = (
+        (jnp.abs(s_S1) > floor)
+        & (jnp.abs(s_S2) > floor)
+        & (s_S1 * s_S2 > 0.0)
+    )  # [W_j, W_i]
+
+    # Blocker side conditions vs each source endpoint, [W_j, W_i, W_k]:
+    # blocker strictly between the span and line j (same sign, smaller
+    # magnitude enforced via the lambda band below).
+    sP1 = s_P1[:, None, :]
+    sP2 = s_P2[:, None, :]
+    sgi = sg[:, :, None]
+    side_ok = (sP1 * sgi > floor) & (sP2 * sgi > floor)
+
+    # lambda = 1 - s_P / s_src, affine in each argument: extremes at
+    # the four endpoint combinations.  Clamped strictly inside (0, 1):
+    # see first_wall_visibility_dead (pole in the projection otherwise).
+    lam_margin = 1e-3
+    lam_lo = jnp.maximum(band1 - seg_tol + pad, lam_margin)
+    lam_hi = jnp.minimum(1.0 + seg_tol - band1 - pad, 1.0 - lam_margin)
+
+    def lam(s_src, s_p):
+        safe = jnp.where(jnp.abs(s_src) > floor, s_src, 1.0)
+        return 1.0 - s_p / safe
+
+    lams = [
+        lam(s_S1[:, :, None], sP1),
+        lam(s_S1[:, :, None], sP2),
+        lam(s_S2[:, :, None], sP1),
+        lam(s_S2[:, :, None], sP2),
+    ]
+    lam_ok = jnp.ones_like(side_ok)
+    for lv in lams:
+        lam_ok = lam_ok & (lv > lam_lo) & (lv < lam_hi)
+
+    # Shadow interval on wall j from source endpoint S: project the
+    # blocker endpoints along rays S -> P onto wall j's line; the
+    # blocker's interval from S is [min, max] of the two projections;
+    # the always-blocked interval is the INTERSECTION over S1, S2.
+    # Projections reduce to scalar dot products with wall j's
+    # direction ([W, W] matmuls) followed by [W, W, W] elementwise ops
+    # -- the naive [W, W, W, 2] point construction with a 2-wide
+    # einsum contraction measured 64 ms/eval on TPU (VPU-hostile
+    # minor-dim-2 layout); this form is ~1 ms.
+    inv_dd = (1.0 / jnp.where(dd > 0.0, dd, 1.0))  # [W_j]
+    ad = jnp.sum(a * d, axis=-1)  # [W_j] = a_j . d_j
+    Sd1 = S1 @ d.T  # [W_i, W_j] -> transpose to [W_j, W_i]
+    Sd2 = S2 @ d.T
+    Pd1 = P1 @ d.T  # [W_k, W_j]
+    Pd2 = P2 @ d.T
+
+    def t_proj(Sd, s_S, Pd, s_p):
+        # Sd [W_j, W_i] = S . d_j; Pd [W_j, W_k] = P . d_j
+        den = s_S[:, :, None] - s_p[:, None, :]
+        den = jnp.where(jnp.abs(den) > 0.0, den, 1.0)
+        u = s_S[:, :, None] / den  # [W_j, W_i, W_k]
+        qd = Sd[:, :, None] + u * (Pd[:, None, :] - Sd[:, :, None])
+        return (qd - ad[:, None, None]) * inv_dd[:, None, None]
+
+    tA1 = t_proj(Sd1.T, s_S1, Pd1.T, s_P1)
+    tA2 = t_proj(Sd1.T, s_S1, Pd2.T, s_P2)
+    tB1 = t_proj(Sd2.T, s_S2, Pd1.T, s_P1)
+    tB2 = t_proj(Sd2.T, s_S2, Pd2.T, s_P2)
+    loA = jnp.minimum(tA1, tA2)
+    hiA = jnp.maximum(tA1, tA2)
+    loB = jnp.minimum(tB1, tB2)
+    hiB = jnp.maximum(tB1, tB2)
+    lo = jnp.maximum(loA, loB)
+    hi = jnp.minimum(hiA, hiB)
+    t_pad = _CULL_PAD_ABS + _CULL_PAD_REL * jnp.maximum(
+        jnp.abs(lo), jnp.abs(hi)
+    )
+    rng = jnp.arange(W)
+    valid_iv = (
+        side_ok
+        & lam_ok
+        & src_ok[:, :, None]
+        & blocker_ok[None, None, :]
+        & wall_usable[None, :, None]  # upstream wall i
+        & wall_usable[:, None, None]  # downstream wall j
+        # adjacency: the kernel ignores walls i and j on the mid
+        # segment, so they may not serve as blockers.
+        & (rng[None, None, :] != rng[None, :, None])
+        & (rng[None, None, :] != rng[:, None, None])
+    )
+    starts = jnp.where(valid_iv, lo + t_pad, jnp.inf)
+    ends = jnp.where(valid_iv, hi - t_pad, -jnp.inf)
+
+    # Union coverage of wall j's span, per (j, i): sort by start, then
+    # the vectorized gap criterion (a 136-step lax.scan sweep here
+    # measured 64 ms/eval in situ on TPU -- the cummax form is ~1 ms):
+    # with R_k = max(span_lo, cummax(ends)_k), the span is covered iff
+    # no k has start_{k+1} > R_k while R_k < span_hi, and the final
+    # reach passes span_hi.  Empty intervals (start=inf, end=-inf)
+    # sort last and only flag a gap when coverage is genuinely short.
+    dead_ji = _span_covered(starts, ends, span_lo, span_hi)
+    dead = dead_ji.T  # [W_i(upstream), W_j(downstream)]
     geo = _shadow_geometry(
         walls32, kind, tx, patch, alpha, approx, sigmoid, tol
     )
@@ -1748,6 +1943,37 @@ def _shadow_geometry(
 
 MID_CHUNK = 8
 """Walls per blocked-loop skip chunk (one occupancy bit per chunk)."""
+
+
+def _span_covered(starts, ends, span_lo, span_hi):
+    """Whether the union of intervals covers ``[span_lo, span_hi]``,
+    vectorized over leading axes (intervals on the LAST axis; empty
+    intervals encoded as ``(inf, -inf)``).
+
+    Sort by start, take the running reach ``R_k = max(span_lo,
+    cummax(ends)_k)``; covered iff no sorted interval STARTS beyond
+    the reach while the reach is still short of ``span_hi``, and the
+    final reach passes ``span_hi``.  Equivalent to the sequential
+    sweep (after a gap the reach can never grow again, since later
+    starts are even larger), but with no lax.scan -- a 136-step sweep
+    measured 64 ms/eval fused into the kill-mask pipeline on TPU.
+    """
+    # Key-value sort: argsort + two take_along_axis gathers measured
+    # ~30-45 ms EACH at [136^3] on TPU (minor-axis random gather);
+    # lax.sort carries the values with the keys for ~free.
+    st, en = jax.lax.sort(
+        (starts, ends), dimension=starts.ndim - 1, num_keys=1
+    )
+    reach = jnp.maximum(jax.lax.cummax(en, axis=en.ndim - 1), span_lo)
+    prev = jnp.concatenate(
+        [
+            jnp.full((*st.shape[:-1], 1), span_lo),
+            reach[..., :-1],
+        ],
+        axis=-1,
+    )
+    gap = jnp.any((st > prev) & (prev < span_hi), axis=-1)
+    return ~gap & (reach[..., -1] >= span_hi)
 
 
 def _pack_chunk_words(mask):

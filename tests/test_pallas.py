@@ -1608,3 +1608,44 @@ def test_first_wall_visibility_dead_sound():
             nx=7,
         )
     check(Scene.city_extract_scene(), nx=6, min_dead=40)
+
+
+def test_pair_occlusion_dead_sound():
+    """Ground-truth soundness of the exact pair-level mid-segment kill:
+    no pixel may have a valid order-2 path whose (upstream, downstream)
+    wall pair the mask declares dead.  The hard-logic lambda-pole
+    regression (tol relaxation pushing the crossing-ratio band through
+    0, where the projection monotonicity breaks) is covered both here
+    (approx False would admit it) and by the bitwise cull suites."""
+    from differt2d_tpu.ops.pallas_kernels import pair_occlusion_dead
+    from differt2d_tpu.tracer import scene_arrays, trace_paths
+
+    def check(scene, nx, approx, min_dead=0):
+        arr = scene_arrays(scene)
+        tx = next(iter(scene.transmitters.values())).xy
+        dead = np.array(pair_occlusion_dead(
+            jnp.asarray(arr.walls, jnp.float32), arr.kind, tx,
+            jnp.float32(0.0), jnp.float32(100.0), approx, False,
+            jnp.float32(1e-2),
+        ))
+        assert int(dead.sum()) >= min_dead
+        xs = np.linspace(0.02, 0.98, nx)
+        for px in xs:
+            for py in xs:
+                out = trace_paths(
+                    scene, tx, jnp.asarray([px, py]),
+                    min_order=2, max_order=2, approx=approx,
+                )
+                v = np.asarray(out[2]["valid"]) > 0
+                c = np.asarray(out[2]["candidates"])
+                assert not np.any(v & dead[c[:, 0], c[:, 1]]), (px, py)
+
+    check(
+        Scene.random_uniform_scene(n_walls=9, key=jax.random.PRNGKey(17)),
+        nx=5, approx=True,
+    )
+    check(
+        Scene.random_uniform_scene(n_walls=9, key=jax.random.PRNGKey(18)),
+        nx=4, approx=False,
+    )
+    check(Scene.city_extract_scene(), nx=4, approx=True, min_dead=3000)
